@@ -1,0 +1,240 @@
+"""Streaming mean/max summary-image reduction over a movie's time axis.
+
+Parity target: the reference ingest hot loop (``datasets/nf.py:126-130``) —
+one CPU pass over T TIFF frames accumulating ``series/mean`` (float16 +=) and
+``series/max`` (np.maximum). That loop ran at ~205 frames/s and was the
+end-to-end throughput bottleneck (BASELINE.md).
+
+TPU-native design:
+- :func:`movie_summary` — chunked ``lax.scan`` reduction over a resident
+  (T, H, W) array: sum in float32, max in the input dtype, fused by XLA.
+- :func:`movie_summary_pallas` — Pallas kernel: grid over time-chunks, the
+  (H, W) accumulators live in VMEM and are revisited every grid step, so the
+  movie streams HBM -> VMEM exactly once with no intermediate (T, H, W)
+  float32 materialization.
+- :class:`StreamingSummary` — host-streaming accumulator for ingest: frames
+  decoded on host arrive in chunks; a donated jitted update folds each chunk
+  into device-resident state. Mean accumulates in float32 (deliberate upgrade
+  over the reference's lossy float16 ``+=``; stored dtype stays float16 per
+  the HDF5 contract).
+- :func:`movie_summary_sharded` — time-axis sharding over a mesh: each device
+  reduces its T-shard, then ``psum``/``pmax`` combine over ICI.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+__all__ = [
+    "movie_summary",
+    "movie_summary_pallas",
+    "movie_summary_sharded",
+    "StreamingSummary",
+]
+
+
+# ---------------------------------------------------------------------------
+# One-shot XLA reduction
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def movie_summary(movie, chunk: int = 64):
+    """Mean and max projections of a (T, H, W) movie.
+
+    Scans over time-chunks so peak memory is one chunk in float32 rather than
+    the full movie, regardless of T.
+
+    # Returns
+        (mean, mx): (H, W) float32 mean and (H, W) max in the input dtype.
+    """
+    t = movie.shape[0]
+    pad = (-t) % chunk
+    if pad:
+        movie = jnp.concatenate([movie, jnp.zeros((pad,) + movie.shape[1:], movie.dtype)])
+    nchunks = movie.shape[0] // chunk
+    chunks = movie.reshape((nchunks, chunk) + movie.shape[1:])
+    tidx = jnp.arange(chunk)
+
+    neg_inf = (
+        jnp.finfo(movie.dtype).min
+        if jnp.issubdtype(movie.dtype, jnp.floating)
+        else jnp.iinfo(movie.dtype).min
+    )
+
+    def step(carry, xs):
+        i, x = xs
+        s, m = carry
+        valid = (i * chunk + tidx) < t  # mask the zero padding
+        xf = x.astype(jnp.float32) * valid[:, None, None]
+        xm = jnp.where(valid[:, None, None], x, neg_inf)
+        return (s + jnp.sum(xf, axis=0), jnp.maximum(m, jnp.max(xm, axis=0))), None
+
+    init = (
+        jnp.zeros(movie.shape[1:], jnp.float32),
+        jnp.full(movie.shape[1:], neg_inf, movie.dtype),
+    )
+    (s, m), _ = jax.lax.scan(step, init, (jnp.arange(nchunks), chunks))
+    return s / jnp.float32(t), m
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: single HBM pass, VMEM-resident accumulators
+# ---------------------------------------------------------------------------
+
+def _summary_kernel(x_ref, sum_ref, max_ref):
+    i = pl.program_id(0)
+    chunk = x_ref[:].astype(jnp.float32)
+    csum = jnp.sum(chunk, axis=0)
+    cmax = jnp.max(chunk, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        sum_ref[:] = csum
+        max_ref[:] = cmax
+
+    @pl.when(i > 0)
+    def _():
+        sum_ref[:] = sum_ref[:] + csum
+        max_ref[:] = jnp.maximum(max_ref[:], cmax)
+
+
+def movie_summary_pallas(movie, chunk: int = 8, interpret: bool = False):
+    """Fused mean+max projection as a Pallas TPU kernel.
+
+    Grid over time-chunks; the (H, W) float32 accumulators are revisited at
+    every grid step (TPU grids execute sequentially), so each movie element is
+    read from HBM exactly once. Spatial dims are padded to (8, 128) float32
+    tiling; the pad region is cropped before returning.
+
+    # Arguments
+        movie: (T, H, W) array (int16/uint16/float32...).
+        chunk: frames per grid step; chunk*H*W*4B must fit VMEM comfortably.
+        interpret: run in interpreter mode (for CPU tests).
+
+    # Returns
+        (mean, mx): (H, W) float32 mean and (H, W) max in float32.
+    """
+    t, h, w = movie.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    tp = -(-t // chunk) * chunk
+
+    neg = (
+        float(np.finfo(np.asarray(movie).dtype).min)
+        if np.issubdtype(np.asarray(movie).dtype, np.floating)
+        else int(np.iinfo(np.asarray(movie).dtype).min)
+    )
+    # Zero-pad the sum-irrelevant spatial borders; pad time with `neg` so the
+    # max is untouched, and compensate the sum on the host side below.
+    movie_p = jnp.pad(
+        jnp.asarray(movie),
+        ((0, tp - t), (0, hp - h), (0, wp - w)),
+        constant_values=neg,
+    )
+    nchunks = tp // chunk
+
+    sum_out, max_out = pl.pallas_call(
+        _summary_kernel,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((hp, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(movie_p)
+
+    # Remove the time-padding contribution (tp - t frames of `neg`) from sums.
+    sum_out = sum_out[:h, :w] - jnp.float32(neg) * (tp - t)
+    return sum_out / jnp.float32(t), max_out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Host-streaming accumulator (ingest path)
+# ---------------------------------------------------------------------------
+
+class StreamingSummary:
+    """Fold host-decoded frame chunks into device-resident mean/max state.
+
+    Replaces the reference's per-frame NumPy accumulation
+    (``datasets/nf.py:126-130``) with donated jitted chunk updates: the only
+    host<->device traffic is the raw frames (which must cross anyway) and the
+    final (H, W) fetch.
+    """
+
+    def __init__(self, frame_shape, dtype=jnp.int16):
+        neg = (
+            jnp.finfo(dtype).min
+            if jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
+            else jnp.iinfo(dtype).min
+        )
+        self._sum = jnp.zeros(frame_shape, jnp.float32)
+        self._max = jnp.full(frame_shape, neg, dtype)
+        self._count = 0
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _update(s, m, chunk):
+            s = s + jnp.sum(chunk.astype(jnp.float32), axis=0)
+            m = jnp.maximum(m, jnp.max(chunk, axis=0))
+            return s, m
+
+        self._update = _update
+
+    def update(self, chunk) -> None:
+        """chunk: (C, H, W) host array of frames."""
+        self._sum, self._max = self._update(self._sum, self._max, jnp.asarray(chunk))
+        self._count += chunk.shape[0]
+
+    def result(self):
+        """(mean float32, max) as host numpy arrays."""
+        if self._count == 0:
+            raise ValueError("no frames accumulated")
+        return (
+            np.asarray(self._sum) / self._count,
+            np.asarray(self._max),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Time-axis sharding over a device mesh
+# ---------------------------------------------------------------------------
+
+def movie_summary_sharded(movie, mesh, axis: str = "data", chunk: int = 64):
+    """Mean/max projection with the time axis sharded over ``mesh[axis]``.
+
+    Each device scans its local T-shard (same kernel as
+    :func:`movie_summary`), then combines partial sums with ``psum`` and
+    partial maxes with ``pmax`` over ICI. T must divide evenly by the mesh
+    axis size (pad upstream if needed).
+    """
+    t = movie.shape[0]
+
+    def local(mv):
+        mean_local, max_local = movie_summary(mv, chunk=chunk)
+        sum_local = mean_local * mv.shape[0]
+        s = jax.lax.psum(sum_local, axis)
+        m = jax.lax.pmax(max_local.astype(jnp.float32), axis)
+        return s / jnp.float32(t), m
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None, None),
+        out_specs=(P(None, None), P(None, None)),
+        # The scan carry is created inside the mapped fn (unvarying) and
+        # becomes device-varying after the first fold; skip the vma check.
+        check_vma=False,
+    )
+    return jax.jit(fn)(movie)
