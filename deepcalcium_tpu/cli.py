@@ -1,0 +1,155 @@
+"""Command-line interface: train / evaluate / predict on Neurofinder data.
+
+Parity rebuild of the reference CLI (``examples/neurons/unet2ds_nf.py``):
+same subcommands, same defaults (train at 128²/512², batch 20, 100 steps,
+10 epochs; reference ``:33-44``), same timestamped + ``latest`` submission
+JSON outputs (``:75-96``). Additional subcommands expose the spike model and
+the dataset ingest.
+
+Usage:
+    python -m deepcalcium_tpu.cli train all_train
+    python -m deepcalcium_tpu.cli evaluate neurofinder.00.00 -m model.ckpt
+    python -m deepcalcium_tpu.cli predict all_test -m model.ckpt
+    python -m deepcalcium_tpu.cli spikes-train data1.hdf5 data2.hdf5
+    python -m deepcalcium_tpu.cli ingest /path/to/tiffdir name
+"""
+
+import argparse
+import logging
+import os
+import time
+
+from deepcalcium_tpu.utils.config import checkpoints_dir
+
+
+def _neurons_cpdir(override=None):
+    return override or os.path.join(checkpoints_dir(), "neurons_unet2ds_nf")
+
+
+def cmd_train(args):
+    from deepcalcium_tpu.data.nf import nf_load_hdf5
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    dspaths = nf_load_hdf5(args.dataset_name)
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    history, best = model.fit(
+        dspaths,
+        model_path=args.model_path,
+        shape_trn=(128, 128), shape_val=(512, 512),
+        batch_size_trn=20, nb_steps_trn=100, nb_epochs=args.epochs,
+        prop_trn=0.75, prop_val=0.25,
+    )
+    print(f"best checkpoint: {best}")
+    return history, best
+
+
+def cmd_evaluate(args):
+    from deepcalcium_tpu.data.nf import nf_load_hdf5
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    dspaths = nf_load_hdf5(args.dataset_name)
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    for aug in (True, False):
+        logging.getLogger("evaluate").info(
+            "Evaluation with%s.", " TTA" if aug else "out TTA")
+        model.predict(dspaths, model_path=args.model_path,
+                      window_shape=(512, 512), save=True, print_scores=True,
+                      augmentation=aug)
+
+
+def cmd_predict(args):
+    from deepcalcium_tpu.data.nf import nf_load_hdf5, nf_submit
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    dspaths = nf_load_hdf5(args.dataset_name)
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    tic = int(time.time())
+    for aug in (True, False):
+        Mp, names = model.predict(dspaths, model_path=args.model_path,
+                                  window_shape=(512, 512), augmentation=aug)
+        suffix = "_TTA" if aug else ""
+        nf_submit(Mp, names, os.path.join(
+            model.cpdir, f"submission_{tic}{suffix}.json"))
+        nf_submit(Mp, names, os.path.join(
+            model.cpdir, f"submission_latest{suffix}.json"))
+
+
+def cmd_spikes_train(args):
+    from deepcalcium_tpu.models.unet_1d_segmentation import UNet1DSegmentation
+
+    model = UNet1DSegmentation(cpdir=args.checkpoints_dir)
+    out = model.fit(args.dataset_paths, val_type=args.val_type,
+                    nb_epochs=args.epochs)
+    print(out if args.val_type == "cross_validate" else f"best: {out[2]}")
+
+
+def cmd_spikes_predict(args):
+    from deepcalcium_tpu.models.unet_1d_segmentation import UNet1DSegmentation
+
+    model = UNet1DSegmentation(cpdir=args.checkpoints_dir)
+    preds, names = model.predict(args.dataset_paths, args.model_path)
+    for n, p in zip(names, preds):
+        print(f"{n}: {p.shape}, {int(p.sum())} spike samples")
+
+
+def cmd_ingest(args):
+    from deepcalcium_tpu.data.nf import ingest_tiff_dataset
+
+    out = ingest_tiff_dataset(
+        args.tiff_dir, os.path.join(args.tiff_dir, "dataset.hdf5"), args.name)
+    print(out)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="dc-tpu", description="TPU-native deep-calcium CLI.")
+    sp = ap.add_subparsers(title="actions", required=True)
+
+    p = sp.add_parser("train", help="Train UNet2DS on Neurofinder datasets.")
+    p.add_argument("dataset_name", default="all_train", type=str)
+    p.add_argument("-m", "--model_path")
+    p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("-e", "--epochs", type=int, default=10)
+    p.set_defaults(func=cmd_train)
+
+    p = sp.add_parser("evaluate", help="Evaluate with and without TTA.")
+    p.add_argument("dataset_name", default="all_train", type=str)
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-c", "--checkpoints_dir")
+    p.set_defaults(func=cmd_evaluate)
+
+    p = sp.add_parser("predict", help="Predict + write submission JSONs.")
+    p.add_argument("dataset_name", default="all", type=str)
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-c", "--checkpoints_dir")
+    p.set_defaults(func=cmd_predict)
+
+    p = sp.add_parser("spikes-train", help="Train UNet1D on spike datasets.")
+    p.add_argument("dataset_paths", nargs="+")
+    p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("-e", "--epochs", type=int, default=20)
+    p.add_argument("--val_type", default="random_split",
+                   choices=["random_split", "cross_validate"])
+    p.set_defaults(func=cmd_spikes_train)
+
+    p = sp.add_parser("spikes-predict", help="Predict spikes on datasets.")
+    p.add_argument("dataset_paths", nargs="+")
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-c", "--checkpoints_dir")
+    p.set_defaults(func=cmd_spikes_predict)
+
+    p = sp.add_parser("ingest", help="Ingest a TIFF tree into contract HDF5.")
+    p.add_argument("tiff_dir")
+    p.add_argument("name")
+    p.set_defaults(func=cmd_ingest)
+    return ap
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

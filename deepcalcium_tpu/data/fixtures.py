@@ -1,0 +1,121 @@
+"""Synthetic dataset fixtures: neurofinder-like HDF5, TIFF trees, spike traces.
+
+SURVEY §4.2: integration tests must exercise ingest->fit->predict->submit
+without the 3.1 GB Neurofinder download. These generators reproduce the exact
+HDF5 contracts:
+
+- Neuron datasets (reference ``nf.py:38-44``): ``series/{raw,mean,max}``,
+  ``masks/{raw,max}``, file attr ``name``.
+- Spike datasets (reference ``unet_1d_segmentation.py:182-188``): ``traces``
+  (R, T) float, ``spikes`` (R, T) binary, attr ``name``.
+- Raw TIFF trees (reference ``nf.py:117-144``): ``<name>/images/*.tiff`` +
+  ``<name>/regions/regions.json`` — for testing the ingest pipeline itself.
+"""
+
+import json
+import os
+
+import h5py
+import numpy as np
+
+__all__ = [
+    "synthetic_neurons",
+    "make_neurons_hdf5",
+    "make_tiff_tree",
+    "make_spikes_hdf5",
+]
+
+
+def synthetic_neurons(rng, shape=(96, 96), nb_neurons=8, radius=3, margin=6):
+    """Non-overlapping square-ish neuron masks: (N, H, W) int8 + centers."""
+    h, w = shape
+    masks, centers = [], []
+    attempts = 0
+    while len(masks) < nb_neurons and attempts < 1000:
+        attempts += 1
+        cy = int(rng.integers(margin, h - margin))
+        cx = int(rng.integers(margin, w - margin))
+        if any(abs(cy - y) < 2 * radius + 3 and abs(cx - x) < 2 * radius + 3
+               for y, x in centers):
+            continue
+        m = np.zeros(shape, np.int8)
+        m[cy - radius : cy + radius + 1, cx - radius : cx + radius + 1] = 1
+        masks.append(m)
+        centers.append((cy, cx))
+    return np.stack(masks), centers
+
+
+def _movie_from_masks(rng, masks, nb_frames=64, base=100, amp=400):
+    """Poisson background + flickering neuron activity, int16."""
+    any_neuron = masks.max(axis=0).astype(np.float32)
+    # Each neuron flickers with its own random on/off activity.
+    act = rng.random((nb_frames, masks.shape[0])) > 0.5
+    signal = np.einsum("tn,nhw->thw", act.astype(np.float32),
+                       masks.astype(np.float32)) * amp
+    noise = rng.poisson(base, (nb_frames,) + masks.shape[1:])
+    return (noise + signal + any_neuron * 50).astype(np.int16)
+
+
+def make_neurons_hdf5(path, name="synthetic.00.00", shape=(96, 96),
+                      nb_frames=64, nb_neurons=8, seed=0):
+    """Write a full neurofinder-contract HDF5; returns the path."""
+    rng = np.random.default_rng(seed)
+    masks, _ = synthetic_neurons(rng, shape, nb_neurons)
+    movie = _movie_from_masks(rng, masks, nb_frames)
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as fp:
+        fp.attrs["name"] = name
+        fp.create_dataset("series/raw", data=movie, dtype="int16")
+        fp.create_dataset("series/mean",
+                          data=movie.mean(axis=0).astype(np.float16),
+                          dtype="float16")
+        fp.create_dataset("series/max", data=movie.max(axis=0), dtype="int16")
+        fp.create_dataset("masks/raw", data=masks, dtype="int8")
+        fp.create_dataset("masks/max", data=masks.max(axis=0), dtype="int8")
+    return path
+
+
+def make_tiff_tree(root, name="synthetic.00.00", shape=(48, 48), nb_frames=12,
+                   nb_neurons=4, seed=0, test_set=False):
+    """Write <root>/<name>/images/*.tiff (+ regions.json unless test_set)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    masks, _ = synthetic_neurons(rng, shape, nb_neurons)
+    movie = _movie_from_masks(rng, masks, nb_frames)
+
+    img_dir = os.path.join(root, name, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    for i in range(nb_frames):
+        Image.fromarray(movie[i].astype(np.int32), mode="I").save(
+            os.path.join(img_dir, f"image{i:05d}.tiff"))
+
+    if not test_set:
+        regions = []
+        for m in masks:
+            yy, xx = np.where(m == 1)
+            regions.append(
+                {"coordinates": [[int(y), int(x)] for y, x in zip(yy, xx)]})
+        reg_dir = os.path.join(root, name, "regions")
+        os.makedirs(reg_dir, exist_ok=True)
+        with open(os.path.join(reg_dir, "regions.json"), "w") as fp:
+            json.dump(regions, fp)
+    return os.path.join(root, name), movie, masks
+
+
+def make_spikes_hdf5(path, name="spikes.synthetic", nb_traces=16,
+                     trace_len=512, spike_rate=0.02, seed=0):
+    """Calcium-like traces: exponential-decay kernel at spike times + noise."""
+    rng = np.random.default_rng(seed)
+    spikes = (rng.random((nb_traces, trace_len)) < spike_rate).astype(np.uint8)
+    kernel = np.exp(-np.arange(40) / 8.0)
+    traces = np.stack([np.convolve(s, kernel)[:trace_len] for s in spikes])
+    traces = traces * 3.0 + rng.standard_normal((nb_traces, trace_len)) * 0.15
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as fp:
+        fp.attrs["name"] = name
+        fp.create_dataset("traces", data=traces.astype(np.float64))
+        fp.create_dataset("spikes", data=spikes)
+    return path

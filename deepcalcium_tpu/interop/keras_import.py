@@ -1,0 +1,123 @@
+"""Import Keras 2.x HDF5 checkpoints into JAX param/state pytrees.
+
+The reference ships released weights as Keras ``save_model`` HDF5 files
+(``unet2ds_model.hdf5`` / ``unet1d_model.hdf5``; URLs at reference
+``unet_2d_summary.py:28`` and ``unet_1d_segmentation.py:23``). To hit the
+BASELINE score-parity target the rebuild must load them directly.
+
+Keras 2.0.x HDF5 layout (keras/models.py ``save_model``):
+
+    /  attrs: model_config (JSON), training_config
+    /model_weights  attrs: layer_names = [b"input_1", b"conv2d_1", ...]
+    /model_weights/<layer>/ attrs: weight_names = [b"conv2d_1/kernel:0", ...]
+    /model_weights/<layer>/<weight path> -> dataset
+
+Weight conventions mapped here:
+
+    Keras Conv2D kernel  (kh, kw, in, out)   -> ours HWIO (identical)
+    Keras Conv1D kernel  (k, in, out)        -> ours WIO (identical)
+    Keras Conv2DTranspose kernel (kh, kw, out, in) -> ours HWOI (identical)
+    Keras BatchNorm [gamma, beta, moving_mean, moving_variance]
+        -> params {gamma, beta} + state {mean, var}
+
+Layer order: ``layer_names`` preserves the functional-model build order,
+which is exactly the order of ``unet2d.LAYER_ORDER`` / ``unet1d.LAYER_ORDER``
+(both derived from the reference builder's call sequence). Weightless layers
+(Input/Lambda/MaxPooling/Dropout/concatenate/Activation) are skipped.
+"""
+
+import logging
+
+import h5py
+import numpy as np
+
+from deepcalcium_tpu.models import unet1d, unet2d
+
+__all__ = ["read_keras_weight_groups", "load_unet2ds_keras", "load_unet1d_keras"]
+
+logger = logging.getLogger(__name__)
+
+
+def read_keras_weight_groups(h5path: str):
+    """Yield (layer_name, [np arrays]) for weight-bearing layers in build
+    order."""
+    out = []
+    with h5py.File(h5path, "r") as fp:
+        g = fp["model_weights"] if "model_weights" in fp else fp
+        layer_names = [
+            n.decode() if isinstance(n, bytes) else n
+            for n in g.attrs["layer_names"]
+        ]
+        for lname in layer_names:
+            lg = g[lname]
+            wnames = [
+                n.decode() if isinstance(n, bytes) else n
+                for n in lg.attrs.get("weight_names", [])
+            ]
+            if not wnames:
+                continue
+            out.append((lname, [np.asarray(lg[w]) for w in wnames]))
+    return out
+
+
+def _assign(layer_table, groups, expect_kinds):
+    """Map Keras weight groups onto our (params, state) by walking both
+    orders in lockstep, with shape verification."""
+    params, state = {}, {}
+    gi = iter(groups)
+    for name, kind, cout in layer_table:
+        lname, ws = next(gi)
+        if kind in ("conv3", "conv5", "conv1"):
+            if not lname.startswith(expect_kinds["conv"]) or \
+                    lname.startswith("conv2d_transpose"):
+                raise ValueError(f"expected a conv at {name}, got {lname}")
+            kernel, bias = ws
+            if kernel.shape[-1] != cout:
+                raise ValueError(
+                    f"{name}: kernel out-ch {kernel.shape[-1]} != {cout}")
+            params[name] = {"kernel": np.asarray(kernel, np.float32),
+                            "bias": np.asarray(bias, np.float32)}
+        elif kind == "tconv":
+            if not lname.startswith("conv2d_transpose"):
+                raise ValueError(f"expected conv2d_transpose at {name}, got {lname}")
+            kernel, bias = ws
+            if kernel.shape != (2, 2, cout, kernel.shape[3]):
+                raise ValueError(f"{name}: unexpected tconv shape {kernel.shape}")
+            params[name] = {"kernel": np.asarray(kernel, np.float32),
+                            "bias": np.asarray(bias, np.float32)}
+        elif kind == "bn":
+            if not lname.startswith("batch_normalization"):
+                raise ValueError(f"expected batch_normalization at {name}, got {lname}")
+            gamma, beta, mean, var = ws
+            params[name] = {"gamma": np.asarray(gamma, np.float32),
+                            "beta": np.asarray(beta, np.float32)}
+            state[name] = {"mean": np.asarray(mean, np.float32),
+                           "var": np.asarray(var, np.float32)}
+        else:  # pragma: no cover
+            raise ValueError(f"unknown kind {kind}")
+    remaining = list(gi)
+    if remaining:
+        raise ValueError(f"unconsumed Keras layers: {[n for n, _ in remaining]}")
+    return params, state
+
+
+def load_unet2ds_keras(h5path: str, nfb: int = 32):
+    """Keras unet2ds_model.hdf5 -> (params, state) for models.unet2d."""
+    groups = read_keras_weight_groups(h5path)
+    # conv2d_transpose layers are named conv2d_transpose_*; plain convs
+    # conv2d_*. Keras names both with the conv2d prefix, so disambiguate by
+    # our layer table kinds (the reference net interleaves them, and
+    # layer_names order is authoritative).
+    params, state = _assign(unet2d.layer_order(nfb), groups,
+                            {"conv": "conv2d"})
+    logger.info("Imported %d Keras layers from %s", len(groups), h5path)
+    return params, state
+
+
+def load_unet1d_keras(h5path: str, nfb: int = 32):
+    """Keras unet1d_model.hdf5 -> (params, state) for models.unet1d."""
+    groups = read_keras_weight_groups(h5path)
+    params, state = _assign(unet1d.layer_order(nfb), groups,
+                            {"conv": "conv1d"})
+    logger.info("Imported %d Keras layers from %s", len(groups), h5path)
+    return params, state

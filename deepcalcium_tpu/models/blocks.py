@@ -1,0 +1,170 @@
+"""Shared functional building blocks for the U-Net family.
+
+Design: no layer objects, no framework — params and BN state are plain dict
+pytrees; every block is a pure function. BN/conv semantics follow Keras 2.0.6
+defaults exactly (the reference nets are built from Keras defaults:
+``unet_2d_summary.py:154-167``, ``unet_1d_segmentation.py:78-84``) so that
+released Keras checkpoints can be imported weight-for-weight:
+
+- Conv2D/Conv1D: SAME padding, stride 1, bias, he_normal kernels.
+- BatchNormalization: axis=-1, eps=1e-3, momentum=0.99 (conv blocks) or 0.5
+  (transpose-up blocks); training normalizes by biased batch stats and
+  updates ``moving = momentum * moving + (1 - momentum) * batch``.
+- Conv2DTranspose(k=2, s=2, VALID): each input pixel emits a 2x2 output
+  block — implemented as one einsum + reshape (a pure MXU matmul) instead of
+  a gradient-of-conv, which is both exact and faster on TPU.
+- Dropout: inverted scaling, train-only.
+
+Compute dtype is a parameter: convolutions can run in bfloat16 on the MXU
+while params and BN statistics stay float32.
+"""
+
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-3  # Keras 2.0.6 BatchNormalization default epsilon.
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def he_normal(key, shape, fan_in):
+    return jax.random.normal(key, shape, jnp.float32) * jnp.sqrt(2.0 / fan_in)
+
+
+def init_conv(key, ksize, cin, cout):
+    """2-D conv params; kernel layout HWIO (matches Keras)."""
+    kh, kw = ksize
+    return {
+        "kernel": he_normal(key, (kh, kw, cin, cout), kh * kw * cin),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def init_conv1d(key, ksize, cin, cout):
+    """1-D conv params; kernel layout WIO (matches Keras Conv1D)."""
+    return {
+        "kernel": he_normal(key, (ksize, cin, cout), ksize * cin),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def init_tconv(key, cin, cout):
+    """2x2-stride-2 transpose conv; kernel stored HWOI like Keras
+    Conv2DTranspose (kh, kw, out_channels, in_channels)."""
+    return {
+        "kernel": he_normal(key, (2, 2, cout, cin), 2 * 2 * cin),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def init_bn(c):
+    params = {"gamma": jnp.ones((c,), jnp.float32), "beta": jnp.zeros((c,), jnp.float32)}
+    state = {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Forward ops
+# ---------------------------------------------------------------------------
+
+def conv2d(x, p, dtype=None, precision=None):
+    """SAME conv, NHWC x HWIO -> NHWC.
+
+    ``precision``: jax.lax.Precision; use HIGHEST for bit-parity paths
+    (weight-import verification) — backend default otherwise (fastest MXU
+    path; float32 accumulate via preferred_element_type regardless).
+    """
+    k, b = p["kernel"], p["bias"]
+    if dtype is not None:
+        x, k = x.astype(dtype), k.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return y + b
+
+
+def conv1d(x, p, dtype=None, precision=None):
+    """SAME conv, NWC x WIO -> NWC."""
+    k, b = p["kernel"], p["bias"]
+    if dtype is not None:
+        x, k = x.astype(dtype), k.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return y + b
+
+
+def tconv2x2(x, p, dtype=None, precision=None):
+    """Conv2DTranspose(k=2, s=2, VALID) as einsum+reshape (exact).
+
+    out[b, 2i+p, 2j+q, o] = sum_c x[b,i,j,c] * K[p,q,o,c] + bias[o]
+    """
+    k, b = p["kernel"], p["bias"]
+    if dtype is not None:
+        x, k = x.astype(dtype), k.astype(dtype)
+    bsz, h, w, _ = x.shape
+    o = k.shape[2]
+    y = jnp.einsum(
+        "bhwc,pqoc->bhpwqo", x, k,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    y = y.reshape(bsz, 2 * h, 2 * w, o)
+    return y + b
+
+
+def maxpool2(x):
+    """MaxPooling2D(2, strides=2) on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def maxpool1d(x, window, stride=1, padding="SAME"):
+    """MaxPooling1D on NWC with arbitrary window/stride."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, window, 1), (1, stride, 1), padding
+    )
+
+
+def upsample1d(x):
+    """UpSampling1D(2): repeat along the length axis (NWC)."""
+    return jnp.repeat(x, 2, axis=1)
+
+
+def batch_norm(x, p, s, train: bool, momentum: float):
+    """Keras-semantics BN over the channel (last) axis.
+
+    Returns (y, new_state). Stats are computed/updated in float32 whatever
+    the compute dtype.
+    """
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        new_s = {
+            "mean": momentum * s["mean"] + (1.0 - momentum) * mean,
+            "var": momentum * s["var"] + (1.0 - momentum) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + BN_EPS) * p["gamma"]
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + p["beta"].astype(x.dtype)
+    return y, new_s
+
+
+def dropout(x, rate: float, train: bool, key):
+    """Inverted dropout (Keras semantics)."""
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

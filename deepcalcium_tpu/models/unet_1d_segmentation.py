@@ -1,0 +1,286 @@
+"""UNet1DSegmentation: spike-segmentation wrapper (fit / predict).
+
+API-parity rebuild of the reference wrapper
+(``models/spikes/unet_1d_segmentation.py:177-459``): HDF5 contract
+(``traces``/``spikes`` + attr ``name``), per-trace z-normalization, margin
+max-pooling of labels, random-split and k-fold cross-validation fits,
+best-on-val_F2 checkpointing, full-trace-length prediction.
+
+TPU-first mechanics: one fully-convolutional apply serves the 4096-sample
+training windows and full-length traces (reflect-padded to a multiple of 16);
+label margin-pooling runs as one jitted reduce_window over the whole trace
+matrix; batches stream through the same Prefetcher as the 2-D model.
+"""
+
+import functools
+import logging
+import os
+import time
+from itertools import cycle
+from math import ceil
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcalcium_tpu.models import unet1d
+from deepcalcium_tpu.ops import losses as L
+from deepcalcium_tpu.train import trainer as T
+from deepcalcium_tpu.train.callbacks import CSVMetricsLogger, plot_metrics_grid
+from deepcalcium_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from deepcalcium_tpu.utils.config import checkpoints_dir
+from deepcalcium_tpu.utils.runtime import funcname
+
+__all__ = ["UNet1DSegmentation", "get_dataset_attrs", "get_dataset_traces",
+           "get_dataset_spikes", "maxpool_labels"]
+
+
+# --- Dataset accessors (reference :151-174) ---------------------------------
+
+def get_dataset_attrs(dspath: str) -> dict:
+    with h5py.File(dspath, "r") as fp:
+        return {k: v for k, v in fp.attrs.items()}
+
+
+def get_dataset_traces(dspath: str) -> np.ndarray:
+    """Per-trace z-normalized traces with the reference's sanity asserts
+    (``:162-167``)."""
+    with h5py.File(dspath, "r") as fp:
+        traces = fp["traces"][...]
+    m = np.mean(traces, axis=1, keepdims=True)
+    s = np.std(traces, axis=1, keepdims=True)
+    traces = (traces - m) / s
+    assert -5 < np.mean(traces) < 5, np.mean(traces)
+    assert -5 < np.std(traces) < 5, np.std(traces)
+    return traces
+
+
+def get_dataset_spikes(dspath: str) -> np.ndarray:
+    with h5py.File(dspath, "r") as fp:
+        return fp["spikes"][...]
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def _maxpool_labels_jit(spikes, margin: int):
+    x = spikes.astype(jnp.float32)[..., None]
+    y = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, margin + 1, 1), (1, 1, 1), "SAME")
+    return y[..., 0]
+
+
+def maxpool_labels(spikes: np.ndarray, margin: int) -> np.ndarray:
+    """Pre-apply the error margin to labels: max-pool spikes with window
+    margin+1, stride 1, SAME (reference ``:385-394`` via K.pool2d)."""
+    if margin <= 0:
+        return np.asarray(spikes, np.float32)
+    return np.asarray(_maxpool_labels_jit(jnp.asarray(spikes), int(margin)))
+
+
+def _pad_to_multiple(x: np.ndarray, mult: int):
+    t = x.shape[-1]
+    pad = (-t) % mult
+    if pad == 0:
+        return x, t
+    return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], mode="reflect"), t
+
+
+class UNet1DSegmentation:
+    """Trace -> binary spike segmentation wrapper."""
+
+    def __init__(self, cpdir=None, dataset_attrs_func=get_dataset_attrs,
+                 dataset_traces_func=get_dataset_traces,
+                 dataset_spikes_func=get_dataset_spikes,
+                 net_init_func=unet1d.init, net_apply_func=unet1d.apply,
+                 compute_dtype=None):
+        self.cpdir = cpdir or os.path.join(checkpoints_dir(), "spikes_unet1d")
+        os.makedirs(self.cpdir, exist_ok=True)
+        self.dataset_attrs_func = dataset_attrs_func
+        self.dataset_traces_func = dataset_traces_func
+        self.dataset_spikes_func = dataset_spikes_func
+        self.net_init_func = net_init_func
+        self.net_apply_func = net_apply_func
+        self.compute_dtype = compute_dtype
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, dataset_paths, shape=(4096,), error_margin=4, batch=20,
+            nb_epochs=20, val_type="random_split", prop_trn=0.8, prop_val=0.2,
+            nb_folds=5, learning_rate=2e-3, seed=865, mesh=None):
+        """Train; returns (metrics_trn, metrics_val, best_model_path) for
+        random_split, or aggregated fold metrics for cross_validate.
+
+        Mirrors reference ``fit`` (``:217-380``): loss = wbce(pos=2), metrics
+        F2/prec/reca/ytspks/ypspks, 1 epoch = 1 window from every trace.
+        """
+        logger = logging.getLogger(funcname())
+        assert len(shape) == 1
+        assert val_type in ("random_split", "cross_validate")
+        assert nb_folds > 1
+        assert abs(prop_trn + prop_val - 1.0) < 1e-9
+
+        traces = [t for p in dataset_paths for t in self.dataset_traces_func(p)]
+        spikes = [s for p in dataset_paths for s in self.dataset_spikes_func(p)]
+        assert len(traces) == len(spikes)
+        rng = np.random.default_rng(seed)
+
+        if val_type == "random_split":
+            idxs = rng.permutation(len(traces))
+            idxs_trn = idxs[: int(len(idxs) * prop_trn)]
+            idxs_val = idxs[-int(len(idxs) * prop_val):]
+            mt, mv, bmp = self._fit_single(
+                traces, spikes, idxs_trn, idxs_val, shape, error_margin,
+                batch, nb_epochs, learning_rate, seed, mesh)
+            for k in sorted(mt.keys()):
+                logger.info("%-20s trn=%-9.4f val=%-9.4f", k, mt[k], mv[k])
+            logger.info("Best model path: %s", bmp)
+            return mt, mv, bmp
+
+        # K-fold cross-validation (reference :344-380).
+        idxs = rng.permutation(len(traces))
+        fsz = len(idxs) // nb_folds
+        folds = [idxs[fsz * n : fsz * n + fsz] for n in range(nb_folds)]
+        metrics_trn, metrics_val = [], []
+        for val_idx in range(nb_folds):
+            idxs_trn = np.concatenate(
+                [f for i, f in enumerate(folds) if i != val_idx])
+            idxs_val = folds[val_idx]
+            logger.info("Cross validation fold = %d", val_idx)
+            mt, mv, _ = self._fit_single(
+                traces, spikes, idxs_trn, idxs_val, shape, error_margin,
+                batch, nb_epochs, learning_rate, seed + val_idx, mesh)
+            metrics_trn.append(mt)
+            metrics_val.append(mv)
+        agg = {}
+        for k in sorted(metrics_trn[0].keys()):
+            vt = [m[k] for m in metrics_trn]
+            vv = [m[k] for m in metrics_val]
+            agg[k] = {"trn_mean": float(np.mean(vt)), "trn_std": float(np.std(vt)),
+                      "val_mean": float(np.mean(vv)), "val_std": float(np.std(vv))}
+            logger.info("%-20s trn=%-9.4f (%.4f) val=%-9.4f (%.4f)", k,
+                        agg[k]["trn_mean"], agg[k]["trn_std"],
+                        agg[k]["val_mean"], agg[k]["val_std"])
+        return agg
+
+    def _fit_single(self, traces, spikes, idxs_trn, idxs_val, shape, margin,
+                    batch, nb_epochs, learning_rate, seed, mesh):
+        logger = logging.getLogger(funcname())
+        loss_fn = functools.partial(L.weighted_binary_crossentropy, weightpos=2.0)
+        metric_fns = dict(L.SPIKE_METRICS)
+
+        params, state = self.net_init_func(jax.random.PRNGKey(seed))
+        optimizer = T.make_optimizer(learning_rate)
+        opt_state = optimizer.init(params)
+        apply_fn = functools.partial(
+            self.net_apply_func, margin=int(margin),
+            compute_dtype=self.compute_dtype)
+        step = T.make_train_step(apply_fn, loss_fn, optimizer,
+                                 metric_fns=metric_fns, mesh=mesh)
+        eval_fwd = T.make_eval_forward(apply_fn, mesh=mesh)
+
+        tr_trn = [traces[i] for i in idxs_trn]
+        sp_trn = [spikes[i] for i in idxs_trn]
+        tr_val = [traces[i] for i in idxs_val]
+        sp_val = [spikes[i] for i in idxs_val]
+        steps_trn = int(ceil(len(tr_trn) / batch))
+
+        gen = self._batch_gen(tr_trn, sp_trn, shape, batch, margin, seed)
+        # Fixed validation batch: two windows from every val trace (:283-284).
+        x_val, y_val = next(self._batch_gen(
+            tr_val, sp_val, shape, len(tr_val) * 2, margin, seed + 1))
+
+        tic = int(time.time())
+        csvlog = CSVMetricsLogger(os.path.join(self.cpdir, f"{tic}_metrics.csv"))
+        rng = jax.random.PRNGKey(seed + 2)
+        best_f2, best_path = -1.0, None
+
+        for epoch in range(nb_epochs):
+            agg: dict[str, float] = {}
+            for _ in range(steps_trn):
+                tb, sb = next(gen)
+                rng, sub = jax.random.split(rng)
+                params, state, opt_state, met = step(
+                    params, state, opt_state, tb, sb, sub)
+                for k, v in met.items():
+                    agg[k] = agg.get(k, 0.0) + float(v) / steps_trn
+
+            # Validation metrics on the fixed batch.
+            probs = np.asarray(eval_fwd(params, state, jnp.asarray(x_val)))
+            for k, fn in metric_fns.items():
+                agg[f"val_{k}"] = float(np.mean(np.asarray(fn(y_val, probs))))
+            csvlog.append(epoch, agg)
+            plot_metrics_grid(csvlog.history,
+                              os.path.join(self.cpdir, f"{tic}_metrics.png"))
+            logger.info("epoch %d: loss=%.4f F2=%.4f val_F2=%.4f",
+                        epoch, agg["loss"], agg["F2"], agg["val_F2"])
+
+            # Best-only checkpoint on val_F2 (reference :293-294).
+            if agg["val_F2"] > best_f2:
+                best_f2 = agg["val_F2"]
+                best_path = os.path.join(
+                    self.cpdir, f"{tic}_model_val_F2_{best_f2:.3f}_{epoch:03d}.ckpt")
+                save_checkpoint(best_path, params, state, opt_state,
+                                meta={"epoch": epoch, "val_F2": best_f2})
+
+        # Reload best and re-evaluate train + val (reference :304-314).
+        params, state, _, _ = load_checkpoint(best_path, params, state)
+        x_trn, y_trn = next(gen)
+        out_trn = np.asarray(eval_fwd(params, state, jnp.asarray(x_trn)))
+        out_val = np.asarray(eval_fwd(params, state, jnp.asarray(x_val)))
+        mt = {k: float(np.mean(np.asarray(fn(y_trn, out_trn))))
+              for k, fn in metric_fns.items()}
+        mv = {k: float(np.mean(np.asarray(fn(y_val, out_val))))
+              for k, fn in metric_fns.items()}
+        return mt, mv, best_path
+
+    def _batch_gen(self, traces, spikes, shape, batch_size, margin, seed):
+        """Random fixed-length windows cycling a shuffled trace order
+        (reference ``:382-420``); labels are margin-pooled once up front."""
+        rng = np.random.default_rng(seed)
+        spikes = [np.asarray(maxpool_labels(s[None], margin))[0] for s in spikes]
+        wlen = shape[0]
+        while True:
+            order = cycle(rng.permutation(len(traces)))
+            for _ in range(max(1, int(ceil(len(traces) / batch_size)))):
+                tb = np.zeros((batch_size, wlen), np.float32)
+                sb = np.zeros((batch_size, wlen), np.float32)
+                for b in range(batch_size):
+                    idx = next(order)
+                    t, s = traces[idx], spikes[idx]
+                    if len(t) <= wlen:
+                        tb[b, : len(t)] = t
+                        sb[b, : len(s)] = s
+                    else:
+                        x0 = int(rng.integers(0, len(t) - wlen))
+                        tb[b] = t[x0 : x0 + wlen]
+                        sb[b] = s[x0 : x0 + wlen]
+                yield tb, sb
+
+    # -------------------------------------------------------------- predict
+
+    def predict(self, dataset_paths, model_path, batch=32, threshold=0.5,
+                error_margin=4, mesh=None):
+        """Full-trace-length spike prediction (reference ``:422-459``).
+
+        Traces are reflect-padded to a multiple of 16 (4 pools) and cropped
+        back — no model rebuild needed.
+        """
+        params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
+        params, state, _, _ = load_checkpoint(model_path, params0, state0)
+        apply_fn = functools.partial(
+            self.net_apply_func, margin=int(error_margin),
+            compute_dtype=self.compute_dtype)
+        fwd = T.make_eval_forward(apply_fn, mesh=mesh)
+
+        spikes_pred_all, names_all = [], []
+        for p in dataset_paths:
+            names_all.append(self.dataset_attrs_func(p)["name"])
+            traces = self.dataset_traces_func(p).astype(np.float32)
+            padded, t = _pad_to_multiple(traces, 16)
+            preds = []
+            for i in range(0, padded.shape[0], batch):
+                out = np.asarray(fwd(params, state, jnp.asarray(padded[i : i + batch])))
+                preds.append(out[:, :t])
+            spikes_pred = np.concatenate(preds, axis=0)
+            spikes_pred_all.append((spikes_pred > threshold).astype(np.uint8))
+        return spikes_pred_all, names_all

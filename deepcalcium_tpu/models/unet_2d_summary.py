@@ -1,0 +1,293 @@
+"""UNet2DSummary: the neuron-segmentation model wrapper (fit / predict).
+
+API-parity rebuild of the reference wrapper class
+(``models/neurons/unet_2d_summary.py:301-625``), keeping its
+function-injection composability (``dataset_name_func`` /
+``series_summary_func`` / ``mask_summary_func`` / net builder) while swapping
+the machinery underneath:
+
+reference (Keras/TF, 1 GPU)                 -> this module (JAX, TPU mesh)
+---------------------------------------------------------------------------
+two models at two shapes + hdf5 rewrite     -> one fully-convolutional apply
+fit_generator w/ 1-deep queue               -> Prefetcher + donated jit step
+per-epoch val predict, 6 views, loop        -> one batched sharded forward
+8x TTA loop of host->GPU predicts           -> one fused (8B, H, W) forward
+ModelCheckpoint hdf5                        -> atomic msgpack pytree ckpts
+ReduceLROnPlateau callback                  -> host-side policy + lr inject
+CSVLogger/MetricsPlotCallback               -> CSVMetricsLogger/plot grid
+scores pickle for adaptive sampling         -> in-process dict hand-off
+"""
+
+import functools
+import logging
+import os
+import time
+
+import h5py
+import jax
+import numpy as np
+
+from deepcalcium_tpu.metrics.neurofinder import nf_mask_metrics
+from deepcalcium_tpu.models import unet2d
+from deepcalcium_tpu.ops import losses as L
+from deepcalcium_tpu.ops.mask_summary import mask_summary_exact
+from deepcalcium_tpu.train import trainer as T
+from deepcalcium_tpu.train.callbacks import CSVMetricsLogger, plot_metrics_grid
+from deepcalcium_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from deepcalcium_tpu.train.evaluate import predict_batched, predict_tta
+from deepcalcium_tpu.train.sampler import Prefetcher, WindowSampler
+from deepcalcium_tpu.utils.config import checkpoints_dir
+from deepcalcium_tpu.utils.runtime import funcname
+
+__all__ = ["UNet2DSummary", "summarize_series", "summarize_mask", "name_dataset"]
+
+
+# --- Default dataset accessors (reference unet_2d_summary.py:227-298) -------
+
+def summarize_series(dspath: str) -> np.ndarray:
+    """z-normalized mean summary image (reference ``_summarize_series``)."""
+    with h5py.File(dspath, "r") as fp:
+        summ = fp["series/mean"][...].astype(np.float32)
+    return (summ - np.mean(summ)) / np.std(summ)
+
+
+def summarize_mask(dspath: str) -> np.ndarray:
+    """Flattened, conflict-eroded mask summary (reference
+    ``_summarize_mask``; exact sequential semantics — see ops.mask_summary)."""
+    with h5py.File(dspath, "r") as fp:
+        msks = fp["masks/raw"][...]
+    return mask_summary_exact(msks)
+
+
+def name_dataset(dspath: str) -> str:
+    with h5py.File(dspath, "r") as fp:
+        name = fp.attrs["name"]
+    return name if isinstance(name, str) else name.decode()
+
+
+class UNet2DSummary:
+    """Neuron-segmentation wrapper around the functional UNet2DS."""
+
+    def __init__(self, cpdir=None, dataset_name_func=name_dataset,
+                 series_summary_func=summarize_series,
+                 mask_summary_func=summarize_mask,
+                 net_init_func=unet2d.init, net_apply_func=unet2d.apply,
+                 compute_dtype=None):
+        self.cpdir = cpdir or os.path.join(checkpoints_dir(), "neurons_unet2ds")
+        os.makedirs(self.cpdir, exist_ok=True)
+        self.dataset_name_func = dataset_name_func
+        self.series_summary_func = series_summary_func
+        self.mask_summary_func = mask_summary_func
+        self.net_init_func = net_init_func
+        self.net_apply_func = net_apply_func
+        self.compute_dtype = compute_dtype
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, dataset_paths, model_path=None, proceed=False,
+            shape_trn=(96, 96), shape_val=(512, 512), batch_size_trn=32,
+            nb_steps_trn=200, nb_epochs=20, prop_trn=0.75, prop_val=0.25,
+            learning_rate=2e-3, loss="binary_crossentropy", seed=865,
+            mesh=None, adaptive_sampling=True, nb_max_augment=15,
+            keras_callbacks=None):
+        """Train; returns (history dict, best checkpoint path).
+
+        Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
+        333-432``): row-split train/validation bands per dataset, per-epoch
+        Neurofinder validation on 6 augmented full-image copies, checkpoints
+        every epoch named by val F1, ReduceLROnPlateau on train F1.
+        """
+        logger = logging.getLogger(funcname())
+        assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
+        assert 0 < prop_trn < 1 and 0 < prop_val < 1
+        assert not (proceed and not model_path)
+        loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
+
+        # Summaries (reference :402-404).
+        names = [self.dataset_name_func(p) for p in dataset_paths]
+        S = [self.series_summary_func(p) for p in dataset_paths]
+        M = [self.mask_summary_func(p) for p in dataset_paths]
+
+        # Row bands: train from the top, validate at the bottom (:406-409).
+        yctrn = [(0, int(s.shape[0] * prop_trn)) for s in S]
+        ycval = [(s.shape[0] - int(s.shape[0] * prop_val), s.shape[0]) for s in S]
+
+        # Model + optimizer.
+        params, state = self.net_init_func(jax.random.PRNGKey(seed))
+        optimizer = T.make_optimizer(learning_rate)
+        opt_state = optimizer.init(params)
+        if model_path:
+            opt_like = opt_state if proceed else None
+            params, state, opt_loaded, _ = load_checkpoint(
+                model_path, params, state, opt_like)
+            if proceed and opt_loaded is not None:
+                opt_state = opt_loaded
+
+        apply_fn = functools.partial(
+            self.net_apply_func, compute_dtype=self.compute_dtype)
+        step = T.make_train_step(apply_fn, loss_fn, optimizer, mesh=mesh)
+        eval_fwd = T.make_eval_forward(apply_fn, mesh=mesh)
+
+        # Sampler + device prefetch.
+        sampler = WindowSampler(S, M, names, yctrn, shape_trn,
+                                nb_max_augment=nb_max_augment, seed=seed)
+        prefetch = Prefetcher(sampler.batches(batch_size_trn))
+
+        # Observability.
+        tic = int(time.time())
+        csvlog = CSVMetricsLogger(os.path.join(self.cpdir, f"{tic}_metrics.csv"))
+        plateau = T.ReduceLROnPlateau(factor=0.5, patience=5, min_lr=1e-4)
+        rng = jax.random.PRNGKey(seed + 1)
+
+        best_f1, best_path = -1.0, None
+        history: dict[str, list] = {}
+        try:
+            for epoch in range(nb_epochs):
+                t0 = time.time()
+                agg: dict[str, float] = {}
+                for _ in range(nb_steps_trn):
+                    sb, mb = next(prefetch)
+                    rng, sub = jax.random.split(rng)
+                    params, state, opt_state, met = step(
+                        params, state, opt_state, sb, mb, sub)
+                    for k, v in met.items():
+                        agg[k] = agg.get(k, 0.0) + float(v) / nb_steps_trn
+
+                # Full-image Neurofinder validation (reference :31-120).
+                vmet, name_to_f1 = self._validate(
+                    eval_fwd, params, state, S, M, names, ycval, shape_val,
+                    mesh, epoch)
+                agg.update(vmet)
+                agg["lr"] = T.current_lr(opt_state)
+                agg["epoch_seconds"] = time.time() - t0
+                csvlog.append(epoch, agg)
+                for k, v in agg.items():
+                    history.setdefault(k, []).append(v)
+                plot_metrics_grid(csvlog.history,
+                                  os.path.join(self.cpdir, f"{tic}_metrics.png"),
+                                  title=f"epoch {epoch}")
+                logger.info(
+                    "epoch %d: loss=%.4f F1=%.4f val_nf_f1_mean=%.4f (%.1fs)",
+                    epoch, agg["loss"], agg.get("F1", 0.0),
+                    agg["val_nf_f1_mean"], agg["epoch_seconds"])
+
+                # Checkpoint every epoch, named like the reference (:423).
+                cp = os.path.join(
+                    self.cpdir,
+                    f"{tic}_model_{epoch:02d}_{agg['val_nf_f1_mean']:.3f}.ckpt")
+                save_checkpoint(cp, params, state, opt_state,
+                                meta={"epoch": epoch, **{k: float(v) for k, v in agg.items()}})
+                if agg["val_nf_f1_mean"] > best_f1:
+                    best_f1, best_path = agg["val_nf_f1_mean"], cp
+
+                # ReduceLROnPlateau on train F1 (:425-426).
+                new_lr = plateau.update(agg.get("F1", 0.0), T.current_lr(opt_state))
+                opt_state = T.set_lr(opt_state, new_lr)
+
+                # Adaptive dataset re-weighting from val F1 (:482-489).
+                if adaptive_sampling:
+                    sampler.reweight(name_to_f1)
+        finally:
+            prefetch.close()
+
+        return history, best_path
+
+    def _validate(self, eval_fwd, params, state, S, M, names, ycval,
+                  shape_val, mesh, epoch):
+        """Per-epoch Neurofinder metrics on 6 augmented full-image copies.
+
+        Mirror of ``_ValidationMetricsCB`` (``unet_2d_summary.py:31-120``):
+        views = {identity, fliplr, flipud, rot90x3} of each dataset; metrics
+        are computed on the validation rows only, then mean/median/min/adj
+        with the reference's epsilon tiebreaker (:104-112). All views run in
+        ONE batched (sharded) forward.
+        """
+        views, view_meta = [], []
+        for s, m, name, (y0, y1) in zip(S, M, names, ycval):
+            vm = np.zeros(s.shape, np.uint8)
+            vm[y0:y1, :] = 1
+            for f in (lambda x: x, np.fliplr, np.flipud,
+                      lambda x: np.rot90(x, 1), lambda x: np.rot90(x, 2),
+                      lambda x: np.rot90(x, 3)):
+                fs, fm, fv = f(s), f(m), f(vm)
+                yy, xx = np.where(fv == 1)
+                views.append(fs)
+                view_meta.append((fm, name, (yy.min(), yy.max(), xx.min(), xx.max())))
+
+        probs = predict_batched(eval_fwd, params, state, views,
+                                window=shape_val, mesh=mesh)
+        pp, rr, ff = [], [], []
+        name_to_f1: dict[str, list] = {}
+        for mp, (m, name, (y0, y1, x0, x1)) in zip(probs, view_meta):
+            p, r, _, _, f = nf_mask_metrics(
+                m[y0:y1, x0:x1], np.round(mp[y0:y1, x0:x1]))
+            pp.append(p)
+            rr.append(r)
+            ff.append(f)
+            name_to_f1.setdefault(name, []).append(f)
+
+        eps = 1e-4 * epoch if epoch else 0.0
+        return {
+            "val_nf_f1_mean": float(np.mean(ff) + eps),
+            "val_nf_f1_median": float(np.median(ff) + eps),
+            "val_nf_f1_min": float(np.min(ff) + eps),
+            "val_nf_f1_adj": float(np.mean(ff) * np.min(ff) + eps),
+            "val_nf_prec": float(np.mean(pp)),
+            "val_nf_reca": float(np.mean(rr)),
+        }, name_to_f1
+
+    # -------------------------------------------------------------- predict
+
+    def predict(self, dataset_paths, model_path, window_shape=(512, 512),
+                print_scores=False, save=False, augmentation=False,
+                threshold=0.5, mesh=None, max_batch=None):
+        """Predict masks; returns (Mp, names) like the reference
+        (``unet_2d_summary.py:532-625``). ``augmentation=True`` runs the
+        fused 8x TTA batch."""
+        logger = logging.getLogger(funcname())
+        params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
+        params, state, _, _ = load_checkpoint(model_path, params0, state0)
+        logger.info("Loaded model from %s.", model_path)
+
+        apply_fn = functools.partial(
+            self.net_apply_func, compute_dtype=self.compute_dtype)
+        fwd = T.make_eval_forward(apply_fn, mesh=mesh)
+
+        names = [self.dataset_name_func(p) for p in dataset_paths]
+        S = [self.series_summary_func(p) for p in dataset_paths]
+
+        predictor = predict_tta if augmentation else predict_batched
+        probs = predictor(fwd, params, state, S, window=window_shape,
+                          mesh=mesh, max_batch=max_batch)
+        Mp = [(p > threshold).astype(np.uint8) for p in probs]
+
+        if print_scores:
+            mean_p = mean_r = mean_c = 0.0
+            for dsp, name, mp in zip(dataset_paths, names, Mp):
+                m = self.mask_summary_func(dsp)
+                p, r, i, e, c = nf_mask_metrics(m, np.round(mp))
+                logger.info(
+                    "%s: prec=%.3f, reca=%.3f, incl=%.3f, excl=%.3f, comb=%.3f",
+                    name, p, r, i, e, c)
+                mean_p += p / len(dataset_paths)
+                mean_r += r / len(dataset_paths)
+                mean_c += c / len(dataset_paths)
+            logger.info("Mean prec=%.3f, reca=%.3f, comb=%.3f",
+                        mean_p, mean_r, mean_c)
+
+        if save:
+            from deepcalcium_tpu.utils.visualization import mask_outlines, save_png
+
+            for dsp, name, s, mp in zip(dataset_paths, names, S, Mp):
+                with h5py.File(dsp, "r") as fp:
+                    has_masks = "masks" in fp
+                if has_masks:
+                    m = self.mask_summary_func(dsp)
+                    outlined = mask_outlines(s, [m, np.round(mp)], ["blue", "red"])
+                else:
+                    outlined = mask_outlines(s, [np.round(mp)], ["red"])
+                out = os.path.join(self.cpdir, f"{name}_mp.png")
+                save_png(out, outlined)
+                logger.info("Saved %s", out)
+
+        return Mp, names

@@ -1,0 +1,81 @@
+"""Full-image prediction: padding, batching, and fused test-time augmentation.
+
+Replaces the reference predict path (``unet_2d_summary.py:532-625``):
+
+- Reflect-pad each summary image bottom/right to the inference window
+  (reference ``:569-571``) — same np.pad semantics.
+- Plain prediction: one batched forward over all images at once (the
+  reference loops datasets with batch=1).
+- 8x TTA: :func:`predict_tta` builds all 8 views of the whole image batch
+  with ``tta_expand``, folds them into one (8*B, H, W) device batch, runs ONE
+  forward, and inverts+averages on device (``tta_collapse``) — versus the
+  reference's 8 sequential host->GPU round trips per dataset
+  (``:585-590``). With a mesh, the 8*B batch shards over devices, so 8-way
+  TTA on 8 chips costs one forward's wall-clock.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
+from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
+
+__all__ = ["reflect_pad_to", "predict_batched", "predict_tta"]
+
+
+def reflect_pad_to(img: np.ndarray, hw: int, ww: int) -> np.ndarray:
+    """Pad (H, W) -> (hw, ww) bottom/right with reflection (reference
+    ``unet_2d_summary.py:569-571``)."""
+    h, w = img.shape
+    if h > hw or w > ww:
+        raise ValueError(f"image {img.shape} larger than window {(hw, ww)}")
+    if h == hw and w == ww:
+        return img
+    return np.pad(img, ((0, hw - h), (0, ww - w)), mode="reflect")
+
+
+def _run_batched(fwd, params, state, batch_np, mesh=None, max_batch=None):
+    """Run ``fwd`` over a (N, H, W) host batch in device-sized slabs."""
+    n = batch_np.shape[0]
+    max_batch = max_batch or n
+    outs = []
+    for i in range(0, n, max_batch):
+        slab = batch_np[i : i + max_batch]
+        true = slab.shape[0]
+        if mesh is not None:
+            slab, true = pad_batch_to(slab, mesh.devices.size)
+            slab = shard_batch(mesh, slab)
+        out = np.asarray(fwd(params, state, jnp.asarray(slab)))
+        outs.append(out[:true])
+    return np.concatenate(outs, axis=0)
+
+
+def predict_batched(fwd, params, state, images, window=(512, 512), mesh=None,
+                    max_batch=None):
+    """Predict a list of (H_i, W_i) images; returns same-shaped prob maps.
+
+    Images are reflect-padded to ``window``, stacked, run through ``fwd`` in
+    slabs, and cropped back.
+    """
+    hw, ww = window
+    batch = np.stack([reflect_pad_to(np.asarray(s, np.float32), hw, ww) for s in images])
+    probs = _run_batched(fwd, params, state, batch, mesh=mesh, max_batch=max_batch)
+    return [p[: s.shape[0], : s.shape[1]] for p, s in zip(probs, images)]
+
+
+def predict_tta(fwd, params, state, images, window=(512, 512), mesh=None,
+                max_batch=None):
+    """8x TTA prediction as one fused batch; returns per-image prob maps.
+
+    Equivalent in score to the reference TTA loop (``unet_2d_summary.py:
+    585-590``); the augment->forward->invert->average chain lives in one
+    device computation.
+    """
+    hw, ww = window
+    batch = np.stack([reflect_pad_to(np.asarray(s, np.float32), hw, ww) for s in images])
+    views = np.asarray(tta_expand(jnp.asarray(batch)))  # (8, B, hw, ww)
+    n = batch.shape[0]
+    flat = views.reshape(8 * n, hw, ww)
+    probs = _run_batched(fwd, params, state, flat, mesh=mesh, max_batch=max_batch)
+    merged = np.asarray(tta_collapse(jnp.asarray(probs.reshape(8, n, hw, ww))))
+    return [p[: s.shape[0], : s.shape[1]] for p, s in zip(merged, images)]

@@ -8,7 +8,9 @@ real TPU chip is reserved for bench.py; tests must be hermetic and fast.
 import os
 import tempfile
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this environment pre-seeds jax_platforms="axon,cpu" (the TPU tunnel),
+# which overrides the JAX_PLATFORMS env var — tests must force CPU through
+# jax.config instead, or they silently run over the tunnel.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +18,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Redirect config/datasets/checkpoints away from the user's home directory.
 _tmp = tempfile.mkdtemp(prefix="dc_tpu_test_")
 os.environ.setdefault("DEEPCALCIUM_TPU_DIR", _tmp)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

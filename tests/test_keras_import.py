@@ -1,0 +1,144 @@
+"""Keras HDF5 weight import: synthesize a Keras-format file, import, verify.
+
+No Keras/TF in this environment, so the fixture writes the exact
+``save_model`` HDF5 layout (model_weights group, layer_names/weight_names
+attrs) with random weights in Keras shape conventions.
+"""
+
+import h5py
+import numpy as np
+import pytest
+
+from deepcalcium_tpu.interop.keras_import import (
+    load_unet1d_keras,
+    load_unet2ds_keras,
+)
+from deepcalcium_tpu.models import unet1d, unet2d
+
+
+def _write_keras_h5(path, layer_table, weightless_every=3, kind_1d=False):
+    """Write a Keras-2.0.6-layout file for the given layer table."""
+    rng = np.random.default_rng(0)
+    conv_prefix = "conv1d" if kind_1d else "conv2d"
+    counters = {"conv": 0, "tconv": 0, "bn": 0, "junk": 0}
+    layer_names, groups = [], {}
+    expected = {}
+
+    def add_weightless():
+        counters["junk"] += 1
+        nm = f"max_pooling_{counters['junk']}"
+        layer_names.append(nm)
+        groups[nm] = {}
+
+    cin = 1
+    for i, (name, kind, cout) in enumerate(layer_table):
+        if i % weightless_every == 0:
+            add_weightless()
+        if kind in ("conv3", "conv5", "conv1"):
+            counters["conv"] += 1
+            lname = f"{conv_prefix}_{counters['conv']}"
+            k = {"conv3": (3, 3), "conv5": (5,), "conv1": (1, 1) if not kind_1d else (1,)}[kind]
+            # Post-concat convs have larger fan-in; read from our init shapes.
+            kshape = expected_shapes[name]["kernel"]
+            ws = {f"{lname}/kernel:0": rng.standard_normal(kshape).astype(np.float32),
+                  f"{lname}/bias:0": rng.standard_normal((cout,)).astype(np.float32)}
+        elif kind == "tconv":
+            counters["tconv"] += 1
+            lname = f"conv2d_transpose_{counters['tconv']}"
+            kshape = expected_shapes[name]["kernel"]
+            ws = {f"{lname}/kernel:0": rng.standard_normal(kshape).astype(np.float32),
+                  f"{lname}/bias:0": rng.standard_normal((cout,)).astype(np.float32)}
+        else:  # bn
+            counters["bn"] += 1
+            lname = f"batch_normalization_{counters['bn']}"
+            ws = {f"{lname}/gamma:0": rng.standard_normal((cout,)).astype(np.float32),
+                  f"{lname}/beta:0": rng.standard_normal((cout,)).astype(np.float32),
+                  f"{lname}/moving_mean:0": rng.standard_normal((cout,)).astype(np.float32),
+                  f"{lname}/moving_variance:0": rng.random((cout,)).astype(np.float32) + 0.5}
+        layer_names.append(lname)
+        groups[lname] = ws
+        expected[name] = ws
+        cin = cout
+
+    with h5py.File(path, "w") as fp:
+        fp.attrs["model_config"] = b"{}"
+        mw = fp.create_group("model_weights")
+        mw.attrs["layer_names"] = np.array([n.encode() for n in layer_names])
+        for lname in layer_names:
+            g = mw.create_group(lname)
+            ws = groups[lname]
+            g.attrs["weight_names"] = np.array([w.encode() for w in ws])
+            for wname, arr in ws.items():
+                g.create_dataset(wname, data=arr)
+    return expected
+
+
+@pytest.fixture(scope="module")
+def init_shapes_2d():
+    import jax
+
+    params, state = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    return {k: {kk: vv.shape for kk, vv in v.items()} for k, v in params.items()}
+
+
+@pytest.fixture(scope="module")
+def init_shapes_1d():
+    import jax
+
+    params, state = unet1d.init(jax.random.PRNGKey(0), nfb=4)
+    return {k: {kk: vv.shape for kk, vv in v.items()} for k, v in params.items()}
+
+
+def test_unet2ds_import_roundtrip(tmp_path, init_shapes_2d):
+    global expected_shapes
+    expected_shapes = init_shapes_2d
+    path = str(tmp_path / "unet2ds_model.hdf5")
+    expected = _write_keras_h5(path, unet2d.layer_order(4))
+
+    params, state = load_unet2ds_keras(path, nfb=4)
+
+    # Every kernel landed at the right layer.
+    for name in params:
+        ws = expected[name]
+        for key in params[name]:
+            kname = {"kernel": "kernel", "bias": "bias",
+                     "gamma": "gamma", "beta": "beta"}[key]
+            src = [v for k, v in ws.items() if f"/{kname}:" in k][0]
+            np.testing.assert_array_equal(params[name][key], src)
+    for name in state:
+        ws = expected[name]
+        np.testing.assert_array_equal(
+            state[name]["mean"], [v for k, v in ws.items() if "moving_mean" in k][0])
+        np.testing.assert_array_equal(
+            state[name]["var"], [v for k, v in ws.items() if "moving_variance" in k][0])
+
+    # Imported net runs at full-image shape.
+    probs, _ = unet2d.apply(params, state, np.zeros((1, 64, 64), np.float32))
+    assert probs.shape == (1, 64, 64)
+
+
+def test_unet1d_import_roundtrip(tmp_path, init_shapes_1d):
+    global expected_shapes
+    expected_shapes = init_shapes_1d
+    path = str(tmp_path / "unet1d_model.hdf5")
+    _write_keras_h5(path, unet1d.layer_order(4), kind_1d=True)
+    params, state = load_unet1d_keras(path, nfb=4)
+    probs, _ = unet1d.apply(params, state, np.zeros((1, 64), np.float32))
+    assert probs.shape == (1, 64)
+
+
+def test_import_rejects_wrong_order(tmp_path, init_shapes_2d):
+    """Swapping two layers must produce a loud error, not silent garbage."""
+    global expected_shapes
+    expected_shapes = init_shapes_2d
+    path = str(tmp_path / "bad.hdf5")
+    _write_keras_h5(path, unet2d.layer_order(4))
+    with h5py.File(path, "a") as fp:
+        names = list(fp["model_weights"].attrs["layer_names"])
+        # Swap the first conv and first bn.
+        i = names.index(b"conv2d_1")
+        j = names.index(b"batch_normalization_1")
+        names[i], names[j] = names[j], names[i]
+        fp["model_weights"].attrs["layer_names"] = np.array(names)
+    with pytest.raises(ValueError):
+        load_unet2ds_keras(path, nfb=4)

@@ -1,0 +1,92 @@
+"""UNet1D model + UNet1DSegmentation wrapper on synthetic spike data."""
+
+import jax
+import numpy as np
+import pytest
+
+from deepcalcium_tpu.data.fixtures import make_spikes_hdf5
+from deepcalcium_tpu.models import unet1d
+from deepcalcium_tpu.models.unet_1d_segmentation import (
+    UNet1DSegmentation,
+    get_dataset_traces,
+    maxpool_labels,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny1d():
+    return unet1d.init(jax.random.PRNGKey(0), nfb=4)
+
+
+def test_output_shape_and_range(tiny1d):
+    params, state = tiny1d
+    x = np.random.default_rng(0).standard_normal((3, 128)).astype(np.float32)
+    probs, _ = unet1d.apply(params, state, x)
+    assert probs.shape == (3, 128)
+    assert np.asarray(probs).min() >= 0 and np.asarray(probs).max() <= 1
+
+
+def test_length_polymorphism(tiny1d):
+    params, state = tiny1d
+    for t in (64, 256):
+        probs, _ = unet1d.apply(params, state, np.zeros((1, t), np.float32))
+        assert probs.shape == (1, t)
+
+
+def test_margin_head_dilates_positives(tiny1d):
+    """A larger margin must produce wider positive stripes (the pre-softmax
+    max-pool; reference unet_1d_segmentation.py:139-141)."""
+    params, state = tiny1d
+    x = np.random.default_rng(1).standard_normal((2, 128)).astype(np.float32)
+    p0, _ = unet1d.apply(params, state, x, margin=0)
+    p8, _ = unet1d.apply(params, state, x, margin=8)
+    assert float(np.asarray(p8).mean()) >= float(np.asarray(p0).mean()) - 1e-6
+
+
+def test_maxpool_labels_oracle():
+    s = np.zeros((1, 20), np.float32)
+    s[0, 10] = 1
+    out = maxpool_labels(s, margin=4)  # window 5, SAME
+    (xx,) = np.where(out[0] == 1)
+    np.testing.assert_array_equal(xx, [8, 9, 10, 11, 12])
+    np.testing.assert_array_equal(maxpool_labels(s, margin=0), s)
+
+
+def test_traces_z_normalized(tmp_path):
+    p = make_spikes_hdf5(str(tmp_path / "sp.hdf5"), nb_traces=4, trace_len=256)
+    tr = get_dataset_traces(p)
+    np.testing.assert_allclose(tr.mean(axis=1), 0, atol=1e-9)
+    np.testing.assert_allclose(tr.std(axis=1), 1, atol=1e-6)
+
+
+def test_fit_predict_random_split(tmp_path):
+    paths = [make_spikes_hdf5(str(tmp_path / f"sp{i}.hdf5"),
+                              name=f"spikes.{i}", nb_traces=8, trace_len=256,
+                              seed=i) for i in range(2)]
+    import functools
+
+    model = UNet1DSegmentation(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet1d.init, nfb=4))
+    mt, mv, best = model.fit(paths, shape=(128,), error_margin=4, batch=8,
+                             nb_epochs=2, val_type="random_split", seed=3)
+    assert best is not None
+    assert set(mt) == set(mv) == {"F2", "prec", "reca", "ytspks", "ypspks"}
+
+    preds, names = model.predict(paths, best, batch=8)
+    assert names == ["spikes.0", "spikes.1"]
+    assert preds[0].shape == (8, 256)
+    assert preds[0].dtype == np.uint8
+
+
+def test_fit_cross_validate(tmp_path):
+    import functools
+
+    path = make_spikes_hdf5(str(tmp_path / "sp.hdf5"), nb_traces=10,
+                            trace_len=128, seed=5)
+    model = UNet1DSegmentation(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet1d.init, nfb=4))
+    agg = model.fit([path], shape=(64,), error_margin=2, batch=4, nb_epochs=1,
+                    val_type="cross_validate", nb_folds=2, seed=3)
+    assert "F2" in agg and "val_mean" in agg["F2"]

@@ -1,0 +1,164 @@
+"""UNet2DS functional model: shapes, semantics vs torch oracles, polymorphism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcalcium_tpu.models import blocks as B
+from deepcalcium_tpu.models import unet2d
+
+
+@pytest.fixture(scope="module")
+def small_net():
+    params, state = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    return params, state
+
+
+def test_output_shape_and_range(small_net):
+    params, state = small_net
+    x = np.random.default_rng(0).standard_normal((2, 32, 32)).astype(np.float32)
+    probs, _ = unet2d.apply(params, state, x)
+    assert probs.shape == (2, 32, 32)
+    p = np.asarray(probs)
+    assert p.min() >= 0 and p.max() <= 1
+
+
+def test_fully_convolutional_polymorphism(small_net):
+    """One apply fn serves any H=W divisible by 16 — replaces the reference's
+    per-shape model rebuild (keras_helpers.py:24-68)."""
+    params, state = small_net
+    for hw in (32, 64, 96):
+        x = np.zeros((1, hw, hw), np.float32)
+        probs, _ = unet2d.apply(params, state, x)
+        assert probs.shape == (1, hw, hw)
+
+
+def test_param_count_full_size():
+    """Filter schedule sanity: the 32-base net should be ~7.8M params
+    (reference UNet2DS ≈ 8M)."""
+    params, _ = unet2d.init(jax.random.PRNGKey(0), nfb=32)
+    n = unet2d.param_count(params)
+    assert 7_000_000 < n < 9_000_000, n
+
+
+def test_train_updates_bn_state(small_net):
+    params, state = small_net
+    x = np.random.default_rng(1).standard_normal((4, 32, 32)).astype(np.float32)
+    _, new_state = unet2d.apply(params, state, x, train=True, rng=jax.random.PRNGKey(2))
+    diffs = [
+        float(jnp.abs(new_state[k]["mean"] - state[k]["mean"]).max())
+        for k in state
+    ]
+    assert max(diffs) > 0
+
+
+def test_eval_deterministic_train_stochastic(small_net):
+    params, state = small_net
+    x = np.random.default_rng(2).standard_normal((2, 32, 32)).astype(np.float32)
+    p1, _ = unet2d.apply(params, state, x)
+    p2, _ = unet2d.apply(params, state, x)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    t1, _ = unet2d.apply(params, state, x, train=True, rng=jax.random.PRNGKey(1))
+    t2, _ = unet2d.apply(params, state, x, train=True, rng=jax.random.PRNGKey(3))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_conv2d_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 9, 11, 3)).astype(np.float32)
+    k = rng.standard_normal((3, 3, 3, 5)).astype(np.float32)
+    b = rng.standard_normal((5,)).astype(np.float32)
+    got = np.asarray(B.conv2d(
+        jnp.asarray(x), {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)},
+        precision=jax.lax.Precision.HIGHEST))
+    with torch.no_grad():
+        xt = torch.tensor(x).permute(0, 3, 1, 2)
+        kt = torch.tensor(k).permute(3, 2, 0, 1)
+        want = torch.nn.functional.conv2d(xt, kt, torch.tensor(b), padding=1)
+        want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tconv_matches_torch():
+    """The einsum transpose-conv must equal ConvTranspose2d(k=2, s=2).
+
+    Keras Conv2DTranspose kernels are (kh, kw, out, in); torch wants
+    (in, out, kh, kw)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 7, 5, 6)).astype(np.float32)
+    k = rng.standard_normal((2, 2, 4, 6)).astype(np.float32)  # HWOI
+    b = rng.standard_normal((4,)).astype(np.float32)
+    got = np.asarray(B.tconv2x2(
+        jnp.asarray(x), {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)},
+        precision=jax.lax.Precision.HIGHEST))
+    with torch.no_grad():
+        xt = torch.tensor(x).permute(0, 3, 1, 2)
+        kt = torch.tensor(k).permute(3, 2, 0, 1)  # (in, out, kh, kw)
+        want = torch.nn.functional.conv_transpose2d(xt, kt, torch.tensor(b), stride=2)
+        want = want.permute(0, 2, 3, 1).numpy()
+    assert got.shape == want.shape == (2, 14, 10, 4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_matches_torch_eval():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 6, 6, 3)).astype(np.float32)
+    gamma = rng.standard_normal((3,)).astype(np.float32)
+    beta = rng.standard_normal((3,)).astype(np.float32)
+    mean = rng.standard_normal((3,)).astype(np.float32)
+    var = rng.random((3,)).astype(np.float32) + 0.5
+    got, _ = B.batch_norm(
+        jnp.asarray(x),
+        {"gamma": jnp.asarray(gamma), "beta": jnp.asarray(beta)},
+        {"mean": jnp.asarray(mean), "var": jnp.asarray(var)},
+        train=False, momentum=0.99,
+    )
+    with torch.no_grad():
+        bn = torch.nn.BatchNorm2d(3, eps=1e-3)
+        bn.weight.copy_(torch.tensor(gamma))
+        bn.bias.copy_(torch.tensor(beta))
+        bn.running_mean.copy_(torch.tensor(mean))
+        bn.running_var.copy_(torch.tensor(var))
+        bn.eval()
+        want = bn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_train_stat_update_semantics():
+    """moving = 0.99 * moving + 0.01 * batch (Keras momentum convention)."""
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((8, 4, 4, 2)).astype(np.float32) * 3 + 1
+    p = {"gamma": jnp.ones(2), "beta": jnp.zeros(2)}
+    s = {"mean": jnp.zeros(2), "var": jnp.ones(2)}
+    _, new_s = B.batch_norm(jnp.asarray(x), p, s, train=True, momentum=0.99)
+    bm = x.reshape(-1, 2).mean(0)
+    bv = x.reshape(-1, 2).var(0)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]), 0.01 * bm, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_s["var"]), 0.99 + 0.01 * bv, rtol=1e-4)
+
+
+def test_bfloat16_compute_close_to_f32(small_net):
+    params, state = small_net
+    x = np.random.default_rng(7).standard_normal((1, 32, 32)).astype(np.float32)
+    p32, _ = unet2d.apply(params, state, x)
+    pbf, _ = unet2d.apply(params, state, x, compute_dtype=jnp.bfloat16)
+    assert np.abs(np.asarray(p32) - np.asarray(pbf)).max() < 0.1
+
+
+def test_gradients_flow(small_net):
+    params, state = small_net
+    x = np.random.default_rng(8).standard_normal((2, 32, 32)).astype(np.float32)
+    yt = (np.random.default_rng(9).random((2, 32, 32)) > 0.9).astype(np.float32)
+
+    def loss_fn(p):
+        probs, _ = unet2d.apply(p, state, x, train=True, rng=jax.random.PRNGKey(0))
+        return jnp.mean((probs - yt) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
