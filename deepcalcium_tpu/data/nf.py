@@ -95,13 +95,28 @@ def _read_tiff(path: str) -> np.ndarray:
         return np.asarray(im)
 
 
+def _decode_chunk(paths, i_shape) -> np.ndarray:
+    """Decode a list of TIFF paths to (N, H, W) int16: native multithreaded
+    decoder when built (see data.tiff_native / native/tiff_loader.cpp), PIL
+    otherwise."""
+    from deepcalcium_tpu.data import tiff_native
+
+    if tiff_native.available():
+        frames, status = tiff_native.decode_batch(paths, *i_shape)
+        if status.any():
+            logging.getLogger(funcname()).warning(
+                "%d corrupted TIFF frame(s) zero-filled", int(status.sum()))
+        return frames
+    return np.stack([_read_tiff(p) for p in paths]).astype(np.int16)
+
+
 def ingest_tiff_dataset(ds_dir: str, ds_path: str, name: str,
                         chunk: int = 64) -> str:
     """TIFF tree -> contract HDF5 with device-accumulated summaries.
 
-    Mirrors the reference frames pass (``nf.py:117-144``) with the mean/max
-    reduction on device: decode ``chunk`` frames on host, write raw to HDF5,
-    fold the chunk into StreamingSummary.
+    Mirrors the reference frames pass (``nf.py:117-144``) with both hot ends
+    rebuilt: decode runs in the native thread-pool loader, and the mean/max
+    reduction folds on device (StreamingSummary).
     """
     logger = logging.getLogger(funcname())
     s_paths = sorted(glob(os.path.join(ds_dir, "images", "*.tiff"))) or \
@@ -117,17 +132,10 @@ def ingest_tiff_dataset(ds_dir: str, ds_path: str, name: str,
         dsf.attrs["name"] = name
         raw = dsf.create_dataset("series/raw", (t,) + i_shape, dtype="int16")
         summ = StreamingSummary(i_shape, dtype=np.int16)
-        buf = np.empty((chunk,) + i_shape, np.int16)
-        filled = 0
-        base = 0
-        for idx, p in enumerate(s_paths):
-            buf[filled] = _read_tiff(p)
-            filled += 1
-            if filled == chunk or idx == t - 1:
-                raw[base : base + filled] = buf[:filled]
-                summ.update(buf[:filled])
-                base += filled
-                filled = 0
+        for base in range(0, t, chunk):
+            frames = _decode_chunk(s_paths[base : base + chunk], i_shape)
+            raw[base : base + frames.shape[0]] = frames
+            summ.update(frames)
         mean, mx = summ.result()
         dsf.create_dataset("series/mean", data=mean.astype(np.float16),
                            dtype="float16")

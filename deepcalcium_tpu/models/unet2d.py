@@ -39,13 +39,25 @@ from deepcalcium_tpu.models import blocks as B
 _F = 32
 
 
-def layer_order(nfb: int = _F):
+def layer_order(nfb: int = _F, up_mode: str = "transpose"):
+    """Weight-bearing layers in Keras build order.
+
+    ``up_mode``: 'transpose' (Conv2DTranspose+BN up path, the published
+    recipe) or 'upsampling' (weight-free UpSampling2D, the reference's
+    alternative — ``unet_2d_summary.py:154-161``).
+    """
+    assert up_mode in ("transpose", "upsampling")
     f = nfb
     order = []
 
     def cbr(name, cout):
         order.append((f"{name}_conv", "conv3", cout))
         order.append((f"{name}_bn", "bn", cout))
+
+    def up(name, cout):
+        if up_mode == "transpose":
+            order.append((f"{name}_tconv", "tconv", cout))
+            order.append((f"{name}_bn", "bn", cout))
 
     cbr("enc0a", f)
     cbr("enc0b", f)
@@ -57,20 +69,16 @@ def layer_order(nfb: int = _F):
     cbr("enc3b", f * 8)
     cbr("mida", f * 16)
     cbr("midb", f * 16)
-    order.append(("up3_tconv", "tconv", f * 8))
-    order.append(("up3_bn", "bn", f * 8))
+    up("up3", f * 8)
     cbr("dec3a", f * 8)
     cbr("dec3b", f * 8)
-    order.append(("up2_tconv", "tconv", f * 4))
-    order.append(("up2_bn", "bn", f * 4))
+    up("up2", f * 4)
     cbr("dec2a", f * 4)
     cbr("dec2b", f * 4)
-    order.append(("up1_tconv", "tconv", f * 2))
-    order.append(("up1_bn", "bn", f * 2))
+    up("up1", f * 2)
     cbr("dec1a", f * 2)
     cbr("dec1b", f * 2)
-    order.append(("up0_tconv", "tconv", f))
-    order.append(("up0_bn", "bn", f))
+    up("up0", f)
     cbr("dec0a", f)
     cbr("dec0b", f)
     order.append(("head_conv", "conv1", 2))
@@ -80,11 +88,11 @@ def layer_order(nfb: int = _F):
 LAYER_ORDER = layer_order()
 
 
-def init(key, nfb: int = _F):
+def init(key, nfb: int = _F, up_mode: str = "transpose"):
     """Initialize (params, state) pytrees. he_normal kernels, BN γ=1 β=0."""
     params, state = {}, {}
     cin = 1
-    for name, kind, cout in layer_order(nfb):
+    for name, kind, cout in layer_order(nfb, up_mode):
         key, sub = jax.random.split(key)
         if kind == "conv3":
             params[name] = B.init_conv(sub, (3, 3), cin, cout)
@@ -97,17 +105,20 @@ def init(key, nfb: int = _F):
             cin = cout
         elif kind == "bn":
             params[name], state[name] = B.init_bn(cout)
-    # The four post-concat convs see doubled channels ([up, skip] concat);
-    # re-init them with the true fan-in.
+    # The four post-concat convs see concatenated channels; re-init with the
+    # true fan-in: transpose up halves channels first ([cmul, cmul] concat =
+    # 2*cmul), weight-free upsampling keeps them ([2*cmul, cmul] = 3*cmul).
     f = nfb
+    mult = 2 if up_mode == "transpose" else 3
     for name, cmul in [("dec3a_conv", 8), ("dec2a_conv", 4), ("dec1a_conv", 2), ("dec0a_conv", 1)]:
         key, sub = jax.random.split(key)
-        params[name] = B.init_conv(sub, (3, 3), f * cmul * 2, f * cmul)
+        params[name] = B.init_conv(sub, (3, 3), f * cmul * mult, f * cmul)
     return params, state
 
 
 def apply(params, state, x, train: bool = False, rng=None,
-          drp: float = 0.25, compute_dtype=None, precision=None):
+          drp: float = 0.25, compute_dtype=None, precision=None,
+          up_mode: str = "transpose"):
     """Forward pass.
 
     # Arguments
@@ -135,6 +146,9 @@ def apply(params, state, x, train: bool = False, rng=None,
         return jax.nn.relu(y)
 
     def up(name, h):
+        if up_mode == "upsampling":
+            # UpSampling2D: nearest-neighbor repeat, no weights (:160-161).
+            return jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
         y = B.tconv2x2(h, params[f"{name}_tconv"], dtype=dt, precision=precision)
         y, s = B.batch_norm(y, params[f"{name}_bn"], state[f"{name}_bn"], train, 0.5)
         new_state[f"{name}_bn"] = s

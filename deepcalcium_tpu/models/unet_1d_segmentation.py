@@ -193,6 +193,9 @@ class UNet1DSegmentation:
         csvlog = CSVMetricsLogger(os.path.join(self.cpdir, f"{tic}_metrics.csv"))
         rng = jax.random.PRNGKey(seed + 2)
         best_f2, best_path = -1.0, None
+        # Fixed sample batches for the per-epoch prediction plots
+        # (reference _SamplePlotCallback, :26-46; <=30 traces).
+        nb_plot = min(30, x_val.shape[0])
 
         for epoch in range(nb_epochs):
             agg: dict[str, float] = {}
@@ -211,6 +214,19 @@ class UNet1DSegmentation:
             csvlog.append(epoch, agg)
             plot_metrics_grid(csvlog.history,
                               os.path.join(self.cpdir, f"{tic}_metrics.png"))
+            # Sample-prediction plot on fixed validation traces (reference
+            # _SamplePlotCallback, :26-46).
+            try:
+                from deepcalcium_tpu.utils.visualization import plot_traces_spikes
+
+                plot_traces_spikes(
+                    x_val[:nb_plot], spikes_true=y_val[:nb_plot],
+                    spikes_pred=probs[:nb_plot],
+                    title=f"Epoch {epoch} val_F2={agg['val_F2']:.3f}",
+                    save_path=os.path.join(
+                        self.cpdir, f"{tic}_samples_{epoch:03d}_val.png"))
+            except Exception as e:  # plotting must never kill training
+                logger.warning("sample plot failed: %s", e)
             logger.info("epoch %d: loss=%.4f F2=%.4f val_F2=%.4f",
                         epoch, agg["loss"], agg["F2"], agg["val_F2"])
 

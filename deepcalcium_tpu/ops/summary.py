@@ -104,8 +104,16 @@ def _summary_kernel(x_ref, sum_ref, max_ref):
         max_ref[:] = jnp.maximum(max_ref[:], cmax)
 
 
-def movie_summary_pallas(movie, chunk: int = 8, interpret: bool = False):
+def movie_summary_pallas(movie, chunk: int | None = None,
+                         interpret: bool = False):
     """Fused mean+max projection as a Pallas TPU kernel.
+
+    NOTE: measured on a v5e chip, the XLA path (:func:`movie_summary` /
+    plain ``jnp`` reductions) outperforms this kernel by a wide margin —
+    XLA's native reduction schedule pipelines the (chunk, H, W) blocks better
+    than the revisited-accumulator grid here. Kept as the Pallas reference
+    implementation (and the basis for future fusions, e.g. summary+normalize
+    +pad in one pass); production paths default to :func:`movie_summary`.
 
     Grid over time-chunks; the (H, W) float32 accumulators are revisited at
     every grid step (TPU grids execute sequentially), so each movie element is
@@ -114,7 +122,9 @@ def movie_summary_pallas(movie, chunk: int = 8, interpret: bool = False):
 
     # Arguments
         movie: (T, H, W) array (int16/uint16/float32...).
-        chunk: frames per grid step; chunk*H*W*4B must fit VMEM comfortably.
+        chunk: frames per grid step; None auto-sizes to the VMEM budget
+            (double-buffered int input + f32 cast temp + 2 f32 accumulators
+            must stay under ~16 MB).
         interpret: run in interpreter mode (for CPU tests).
 
     # Returns
@@ -123,6 +133,13 @@ def movie_summary_pallas(movie, chunk: int = 8, interpret: bool = False):
     t, h, w = movie.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
+    if chunk is None:
+        isize = np.asarray(movie).dtype.itemsize
+        # per-chunk-frame: 2x input (pipeline double buffer) + f32 temp;
+        # fixed: 2 f32 accumulators; budget 12 MB of the 16 MB VMEM.
+        per_frame = hp * wp * (2 * isize + 4)
+        fixed = 2 * hp * wp * 4
+        chunk = max(1, min(64, (12 * 2**20 - fixed) // per_frame))
     tp = -(-t // chunk) * chunk
 
     neg = (

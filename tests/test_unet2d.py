@@ -162,3 +162,15 @@ def test_gradients_flow(small_net):
     leaves = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_upsampling_mode():
+    """The reference's upsampling_or_transpose='upsampling' variant
+    (unet_2d_summary.py:154-161): weight-free up path, larger concat
+    fan-in."""
+    params, state = unet2d.init(jax.random.PRNGKey(0), nfb=4, up_mode="upsampling")
+    assert "up3_tconv" not in params
+    probs, _ = unet2d.apply(params, state,
+                            np.zeros((1, 32, 32), np.float32),
+                            up_mode="upsampling")
+    assert probs.shape == (1, 32, 32)
