@@ -72,17 +72,21 @@ def init_bn(c):
 def conv2d(x, p, dtype=None, precision=None):
     """SAME conv, NHWC x HWIO -> NHWC.
 
-    ``precision``: jax.lax.Precision; use HIGHEST for bit-parity paths
-    (weight-import verification) — backend default otherwise (fastest MXU
-    path; float32 accumulate via preferred_element_type regardless).
+    ``dtype``: compute dtype (e.g. bfloat16). When set, inputs/kernel/bias
+    are cast and the conv output stays in that dtype — the TPU MXU still
+    accumulates partial products in float32 internally; BN recomputes
+    statistics in float32 downstream. (Forcing preferred_element_type=f32 on
+    a bf16 conv breaks the gradient transpose: the f32 cotangent meets the
+    bf16 kernel in the transposed conv.)
+    ``precision``: jax.lax.Precision; HIGHEST for bit-parity paths
+    (weight-import verification) — backend default otherwise.
     """
     k, b = p["kernel"], p["bias"]
     if dtype is not None:
-        x, k = x.astype(dtype), k.astype(dtype)
+        x, k, b = x.astype(dtype), k.astype(dtype), b.astype(dtype)
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
         precision=precision,
     )
     return y + b
@@ -92,11 +96,10 @@ def conv1d(x, p, dtype=None, precision=None):
     """SAME conv, NWC x WIO -> NWC."""
     k, b = p["kernel"], p["bias"]
     if dtype is not None:
-        x, k = x.astype(dtype), k.astype(dtype)
+        x, k, b = x.astype(dtype), k.astype(dtype), b.astype(dtype)
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(1,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
         precision=precision,
     )
     return y + b
@@ -109,13 +112,10 @@ def tconv2x2(x, p, dtype=None, precision=None):
     """
     k, b = p["kernel"], p["bias"]
     if dtype is not None:
-        x, k = x.astype(dtype), k.astype(dtype)
+        x, k, b = x.astype(dtype), k.astype(dtype), b.astype(dtype)
     bsz, h, w, _ = x.shape
     o = k.shape[2]
-    y = jnp.einsum(
-        "bhwc,pqoc->bhpwqo", x, k,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    y = jnp.einsum("bhwc,pqoc->bhpwqo", x, k, precision=precision)
     y = y.reshape(bsz, 2 * h, 2 * w, o)
     return y + b
 

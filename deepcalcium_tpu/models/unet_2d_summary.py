@@ -89,7 +89,7 @@ class UNet2DSummary:
             nb_steps_trn=200, nb_epochs=20, prop_trn=0.75, prop_val=0.25,
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=True, nb_max_augment=15,
-            keras_callbacks=None):
+            keras_callbacks=None, profile_dir=None):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -102,6 +102,13 @@ class UNet2DSummary:
         assert 0 < prop_trn < 1 and 0 < prop_val < 1
         assert not (proceed and not model_path)
         loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
+        if model_path == "latest":
+            # Preemption recovery: resume from the newest checkpoint in
+            # cpdir (atomic writes guarantee it is never torn).
+            from deepcalcium_tpu.train.checkpoints import latest_checkpoint
+
+            model_path = latest_checkpoint(self.cpdir)
+            logger.info("resuming from latest checkpoint: %s", model_path)
 
         # Summaries (reference :402-404).
         names = [self.dataset_name_func(p) for p in dataset_paths]
@@ -141,17 +148,20 @@ class UNet2DSummary:
 
         best_f1, best_path = -1.0, None
         history: dict[str, list] = {}
+        from deepcalcium_tpu.utils.profiling import trace
+
         try:
             for epoch in range(nb_epochs):
                 t0 = time.time()
                 agg: dict[str, float] = {}
-                for _ in range(nb_steps_trn):
-                    sb, mb = next(prefetch)
-                    rng, sub = jax.random.split(rng)
-                    params, state, opt_state, met = step(
-                        params, state, opt_state, sb, mb, sub)
-                    for k, v in met.items():
-                        agg[k] = agg.get(k, 0.0) + float(v) / nb_steps_trn
+                with trace(profile_dir if epoch == 1 else None):
+                    for _ in range(nb_steps_trn):
+                        sb, mb = next(prefetch)
+                        rng, sub = jax.random.split(rng)
+                        params, state, opt_state, met = step(
+                            params, state, opt_state, sb, mb, sub)
+                        for k, v in met.items():
+                            agg[k] = agg.get(k, 0.0) + float(v) / nb_steps_trn
 
                 # Full-image Neurofinder validation (reference :31-120).
                 vmet, name_to_f1 = self._validate(

@@ -1,0 +1,48 @@
+"""Multi-host initialization and mesh construction.
+
+The reference is single-process/single-GPU with no collectives (SURVEY
+§2.2). This module is the multi-slice/multi-host entry point for the
+rebuild: call :func:`initialize` once per process before any JAX use on a
+multi-host TPU pod; build meshes with :func:`pod_mesh`.
+
+On a single host (or under the test harness) both are safe no-ops /
+trivial meshes, so the same training scripts run unchanged from a laptop to
+a pod slice — the GSPMD train step (train/trainer.py) is layout-agnostic.
+"""
+
+import logging
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+logger = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize jax.distributed for multi-host runs.
+
+    No-op when no coordinator is configured (single-host). TPU pod
+    environments auto-discover via the TPU metadata when all args are None;
+    explicit args override.
+    """
+    if coordinator_address is None and num_processes is None:
+        if jax.process_count() > 1:  # already initialized by the runtime
+            return
+        try:
+            jax.distributed.initialize()
+            logger.info("jax.distributed initialized: process %d/%d",
+                        jax.process_index(), jax.process_count())
+        except Exception as e:
+            logger.info("single-host run (distributed init skipped: %s)", e)
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+
+
+def pod_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over every device in the pod (all hosts)."""
+    return Mesh(np.array(jax.devices()), (axis,))
