@@ -101,23 +101,36 @@ def _assign(layer_table, groups, expect_kinds):
     return params, state
 
 
-def load_unet2ds_keras(h5path: str, nfb: int = 32):
-    """Keras unet2ds_model.hdf5 -> (params, state) for models.unet2d."""
+def load_unet2ds_keras(h5path: str, nfb: int | None = None):
+    """Keras unet2ds_model.hdf5 -> (params, state) for models.unet2d.
+
+    ``nfb`` (base filters) and the up-path mode (transpose vs upsampling)
+    are inferred from the file when not given: nfb = first conv's output
+    channels; presence of any conv2d_transpose group selects the mode.
+    """
     groups = read_keras_weight_groups(h5path)
+    if nfb is None:
+        nfb = int(groups[0][1][0].shape[-1])
+    up_mode = ("transpose" if any(n.startswith("conv2d_transpose")
+                                  for n, _ in groups) else "upsampling")
     # conv2d_transpose layers are named conv2d_transpose_*; plain convs
     # conv2d_*. Keras names both with the conv2d prefix, so disambiguate by
     # our layer table kinds (the reference net interleaves them, and
     # layer_names order is authoritative).
-    params, state = _assign(unet2d.layer_order(nfb), groups,
+    params, state = _assign(unet2d.layer_order(nfb, up_mode), groups,
                             {"conv": "conv2d"})
-    logger.info("Imported %d Keras layers from %s", len(groups), h5path)
+    logger.info("Imported %d Keras layers from %s (nfb=%d, up=%s)",
+                len(groups), h5path, nfb, up_mode)
     return params, state
 
 
-def load_unet1d_keras(h5path: str, nfb: int = 32):
+def load_unet1d_keras(h5path: str, nfb: int | None = None):
     """Keras unet1d_model.hdf5 -> (params, state) for models.unet1d."""
     groups = read_keras_weight_groups(h5path)
+    if nfb is None:
+        nfb = int(groups[0][1][0].shape[-1])
     params, state = _assign(unet1d.layer_order(nfb), groups,
                             {"conv": "conv1d"})
-    logger.info("Imported %d Keras layers from %s", len(groups), h5path)
+    logger.info("Imported %d Keras layers from %s (nfb=%d)",
+                len(groups), h5path, nfb)
     return params, state

@@ -168,6 +168,12 @@ class UNet2DSummary:
                     eval_fwd, params, state, S, M, names, ycval, shape_val,
                     mesh, epoch)
                 agg.update(vmet)
+                # NaN sanitizer (SURVEY §5): a diverged run should fail loud
+                # and early, not checkpoint garbage for hours.
+                if not np.isfinite(agg["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {epoch}: "
+                        f"{agg['loss']} (lr={T.current_lr(opt_state)})")
                 agg["lr"] = T.current_lr(opt_state)
                 agg["epoch_seconds"] = time.time() - t0
                 csvlog.append(epoch, agg)
