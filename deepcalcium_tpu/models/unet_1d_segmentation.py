@@ -198,14 +198,18 @@ class UNet1DSegmentation:
         nb_plot = min(30, x_val.shape[0])
 
         for epoch in range(nb_epochs):
-            agg: dict[str, float] = {}
+            # Device-side metric accumulation; one host sync per epoch.
+            step_metrics: list[dict] = []
             for _ in range(steps_trn):
                 tb, sb = next(gen)
                 rng, sub = jax.random.split(rng)
                 params, state, opt_state, met = step(
                     params, state, opt_state, tb, sb, sub)
-                for k, v in met.items():
-                    agg[k] = agg.get(k, 0.0) + float(v) / steps_trn
+                step_metrics.append(met)
+            fetched = jax.device_get(step_metrics)
+            agg: dict[str, float] = {
+                k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]
+            }
 
             # Validation metrics on the fixed batch.
             probs = np.asarray(eval_fwd(params, state, jnp.asarray(x_val)))

@@ -153,15 +153,23 @@ class UNet2DSummary:
         try:
             for epoch in range(nb_epochs):
                 t0 = time.time()
-                agg: dict[str, float] = {}
+                # Keep per-step metrics as device arrays; fetching them here
+                # would force a host sync every step (one tunnel round trip
+                # per metric) and serialize the pipeline.
+                step_metrics: list[dict] = []
                 with trace(profile_dir if epoch == 1 else None):
                     for _ in range(nb_steps_trn):
                         sb, mb = next(prefetch)
                         rng, sub = jax.random.split(rng)
                         params, state, opt_state, met = step(
                             params, state, opt_state, sb, mb, sub)
-                        for k, v in met.items():
-                            agg[k] = agg.get(k, 0.0) + float(v) / nb_steps_trn
+                        step_metrics.append(met)
+                # One sync per epoch: fetch and average.
+                fetched = jax.device_get(step_metrics)
+                agg: dict[str, float] = {
+                    k: float(np.mean([m[k] for m in fetched]))
+                    for k in fetched[0]
+                }
 
                 # Full-image Neurofinder validation (reference :31-120).
                 vmet, name_to_f1 = self._validate(
