@@ -118,7 +118,7 @@ def init(key, nfb: int = _F, up_mode: str = "transpose"):
 
 def apply(params, state, x, train: bool = False, rng=None,
           drp: float = 0.25, compute_dtype=None, precision=None,
-          up_mode: str = "transpose"):
+          up_mode: str = "transpose", capture=None):
     """Forward pass.
 
     # Arguments
@@ -128,6 +128,9 @@ def apply(params, state, x, train: bool = False, rng=None,
         drp: base dropout proportion (reference default 0.25).
         compute_dtype: e.g. jnp.bfloat16 for MXU compute; None = x.dtype.
         precision: lax.Precision for convs; HIGHEST for parity testing.
+        capture: optional dict; when given, per-block activations are stored
+            into it (for inspection tooling — the reference's
+            unet2ds_inspection notebook counterpart).
 
     # Returns
         (probs, new_state): (B, H, W) foreground probabilities and updated
@@ -143,7 +146,10 @@ def apply(params, state, x, train: bool = False, rng=None,
         y = B.conv2d(h, params[f"{name}_conv"], dtype=dt, precision=precision)
         y, s = B.batch_norm(y, params[f"{name}_bn"], state[f"{name}_bn"], train, 0.99)
         new_state[f"{name}_bn"] = s
-        return jax.nn.relu(y)
+        y = jax.nn.relu(y)
+        if capture is not None:
+            capture[name] = y
+        return y
 
     def up(name, h):
         if up_mode == "upsampling":

@@ -47,15 +47,19 @@ def main():
     from deepcalcium_tpu.utils.config import checkpoints_dir
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("dataset_name", default="all_train")
+    ap.add_argument("dataset_name", default="all_train",
+                    help="Neurofinder name(s), or --paths for local HDF5s")
+    ap.add_argument("--paths", nargs="*", default=None,
+                    help="local contract-HDF5 dataset paths (skips download)")
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--val-shape", type=int, default=512)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=865)
     args = ap.parse_args()
 
-    paths = nf_load_hdf5(args.dataset_name)
+    paths = args.paths or nf_load_hdf5(args.dataset_name)
     rng = np.random.default_rng(args.seed)
     out_csv = args.out or os.path.join(
         checkpoints_dir(), f"hyperparam_search_{int(time.time())}.csv")
@@ -74,7 +78,8 @@ def main():
         try:
             hist, _ = model.fit(
                 paths, shape_trn=(cfg["window"], cfg["window"]),
-                shape_val=(512, 512), batch_size_trn=cfg["batch"],
+                shape_val=(args.val_shape, args.val_shape),
+                batch_size_trn=cfg["batch"],
                 nb_steps_trn=args.steps, nb_epochs=args.epochs,
                 learning_rate=cfg["learning_rate"], loss=cfg["loss"],
                 seed=args.seed + trial)
