@@ -119,3 +119,64 @@ def make_spikes_hdf5(path, name="spikes.synthetic", nb_traces=16,
         fp.create_dataset("traces", data=traces.astype(np.float64))
         fp.create_dataset("spikes", data=spikes)
     return path
+
+
+def realistic_neurons(rng, shape=(256, 256), nb_neurons=40, r_lo=3, r_hi=7,
+                      allow_touching=True):
+    """Soft-disk neurons with varied radii; adjacent/touching pairs allowed
+    (what the mask-summary erosion exists for). Returns (N, H, W) int8."""
+    h, w = shape
+    masks, centers = [], []
+    attempts = 0
+    while len(masks) < nb_neurons and attempts < 5000:
+        attempts += 1
+        r = int(rng.integers(r_lo, r_hi + 1))
+        cy = int(rng.integers(r + 1, h - r - 1))
+        cx = int(rng.integers(r + 1, w - r - 1))
+        min_gap = 0 if allow_touching else 2
+        if any((cy - y) ** 2 + (cx - x) ** 2 < (r + rr + min_gap) ** 2 * 0.5
+               for y, x, rr in centers):
+            continue
+        yy, xx = np.mgrid[0:h, 0:w]
+        disk = ((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r
+        masks.append(disk.astype(np.int8))
+        centers.append((cy, cx, r))
+    return np.stack(masks)
+
+
+def realistic_movie(rng, masks, nb_frames=128, base=120, amp_lo=80,
+                    amp_hi=300, decay=8.0, spike_rate=0.05):
+    """Calcium-imaging-like movie: per-neuron Poisson spike trains convolved
+    with an exponential calcium kernel, plus shot noise and slow background
+    drift. int16 (T, H, W)."""
+    n = masks.shape[0]
+    kernel = np.exp(-np.arange(int(decay * 4)) / decay)
+    spikes = rng.random((nb_frames, n)) < spike_rate
+    act = np.stack([np.convolve(spikes[:, i].astype(np.float64), kernel)[:nb_frames]
+                    for i in range(n)], axis=1)
+    amps = rng.uniform(amp_lo, amp_hi, n)
+    signal = np.einsum("tn,n,nhw->thw", act, amps, masks.astype(np.float64))
+    drift = 1.0 + 0.1 * np.sin(
+        np.linspace(0, 3 * np.pi, nb_frames))[:, None, None]
+    lam = np.clip(base * drift + signal, 1, None)
+    return rng.poisson(lam).astype(np.int16)
+
+
+def make_realistic_hdf5(path, name, shape=(256, 256), nb_frames=128,
+                        nb_neurons=40, seed=0):
+    """Realistic-synthetic neurofinder-contract HDF5 (harder than
+    make_neurons_hdf5: soft disks, transients, drift, touching pairs)."""
+    rng = np.random.default_rng(seed)
+    masks = realistic_neurons(rng, shape, nb_neurons)
+    movie = realistic_movie(rng, masks, nb_frames)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as fp:
+        fp.attrs["name"] = name
+        fp.create_dataset("series/raw", data=movie, dtype="int16")
+        fp.create_dataset("series/mean",
+                          data=movie.mean(axis=0).astype(np.float16),
+                          dtype="float16")
+        fp.create_dataset("series/max", data=movie.max(axis=0), dtype="int16")
+        fp.create_dataset("masks/raw", data=masks, dtype="int8")
+        fp.create_dataset("masks/max", data=masks.max(axis=0), dtype="int8")
+    return path

@@ -23,8 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from deepcalcium_tpu.ops import losses as L
-from deepcalcium_tpu.parallel.mesh import batch_sharding, replicated
+from deepcalcium_tpu.parallel.mesh import replicated
 
 __all__ = ["make_optimizer", "make_train_step", "ReduceLROnPlateau", "current_lr", "set_lr"]
 
@@ -110,10 +112,12 @@ def make_train_step(apply_fn, loss_fn, optimizer, metric_fns=None, mesh=None):
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     rep = replicated(mesh)
-    bs3 = batch_sharding(mesh, 3)
+    # P('data') shards dim 0 and replicates the rest for any rank — serves
+    # both (B, H, W) image batches and (B, T) trace batches.
+    bs = NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
-        in_shardings=(rep, rep, rep, bs3, bs3, rep),
+        in_shardings=(rep, rep, rep, bs, bs, rep),
         out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1, 2),
     )
@@ -128,8 +132,9 @@ def make_eval_forward(apply_fn, mesh=None):
 
     if mesh is None:
         return jax.jit(fwd)
+    bs = NamedSharding(mesh, P("data"))
     return jax.jit(
         fwd,
-        in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh, 3)),
-        out_shardings=batch_sharding(mesh, 3),
+        in_shardings=(replicated(mesh), replicated(mesh), bs),
+        out_shardings=bs,
     )

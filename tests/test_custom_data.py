@@ -88,3 +88,20 @@ def test_mask_outlines_smoke():
     # Boundary pixels are red-dominant; interior untouched by stroke.
     assert out[10, 12, 0] > out[10, 12, 2]
     assert (out[12, 12] != np.array([255, 0, 0])).any()
+
+
+def test_realistic_fixture_contract(tmp_path):
+    from deepcalcium_tpu.data.fixtures import make_realistic_hdf5
+    from deepcalcium_tpu.ops.mask_summary import mask_summary_exact
+
+    p = make_realistic_hdf5(str(tmp_path / "r.hdf5"), "real.0",
+                            shape=(64, 64), nb_frames=16, nb_neurons=10,
+                            seed=3)
+    with h5py.File(p, "r") as fp:
+        masks = fp["masks/raw"][...]
+        raw = fp["series/raw"][...]
+        assert raw.shape == (16, 64, 64) and raw.dtype == np.int16
+        assert masks.shape[0] == 10
+    # Neurons are soft disks with positive area; erosion keeps most pixels.
+    summ = mask_summary_exact(masks)
+    assert summ.sum() > 0.5 * masks.max(axis=0).sum()
