@@ -75,6 +75,13 @@ def cmd_predict(args):
 
 
 def cmd_spikes_train(args):
+    if args.arch == "glm":
+        from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
+
+        model = GLMSegmentation(cpdir=args.checkpoints_dir)
+        mt, mv, path = model.fit(args.dataset_paths)
+        print(f"best: {path} (val_F2={mv['F2']:.3f})")
+        return
     from deepcalcium_tpu.models.unet_1d_segmentation import UNet1DSegmentation
 
     model = UNet1DSegmentation(cpdir=args.checkpoints_dir)
@@ -84,9 +91,15 @@ def cmd_spikes_train(args):
 
 
 def cmd_spikes_predict(args):
-    from deepcalcium_tpu.models.unet_1d_segmentation import UNet1DSegmentation
+    if args.arch == "glm":
+        from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
 
-    model = UNet1DSegmentation(cpdir=args.checkpoints_dir)
+        model = GLMSegmentation(cpdir=args.checkpoints_dir)
+    else:
+        from deepcalcium_tpu.models.unet_1d_segmentation import (
+            UNet1DSegmentation)
+
+        model = UNet1DSegmentation(cpdir=args.checkpoints_dir)
     preds, names = model.predict(args.dataset_paths, args.model_path)
     for n, p in zip(names, preds):
         print(f"{n}: {p.shape}, {int(p.sum())} spike samples")
@@ -124,10 +137,11 @@ def build_parser():
     p.add_argument("-c", "--checkpoints_dir")
     p.set_defaults(func=cmd_predict)
 
-    p = sp.add_parser("spikes-train", help="Train UNet1D on spike datasets.")
+    p = sp.add_parser("spikes-train", help="Train UNet1D/GLM on spike datasets.")
     p.add_argument("dataset_paths", nargs="+")
     p.add_argument("-c", "--checkpoints_dir")
     p.add_argument("-e", "--epochs", type=int, default=20)
+    p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm"])
     p.add_argument("--val_type", default="random_split",
                    choices=["random_split", "cross_validate"])
     p.set_defaults(func=cmd_spikes_train)
@@ -136,6 +150,7 @@ def build_parser():
     p.add_argument("dataset_paths", nargs="+")
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm"])
     p.set_defaults(func=cmd_spikes_predict)
 
     p = sp.add_parser("ingest", help="Ingest a TIFF tree into contract HDF5.")

@@ -8,18 +8,23 @@ non-functional in the reference itself: it imports metrics that do not exist
 stub (``:143-157``). Per SURVEY §2 row 29 the rebuild documents it as
 deprecated rather than porting the breakage.
 
-The supported spike-inference path in this framework is
-:class:`deepcalcium_tpu.models.unet_1d_segmentation.UNet1DSegmentation`.
+The supported spike-inference paths in this framework:
+- deep: :class:`deepcalcium_tpu.models.unet_1d_segmentation.UNet1DSegmentation`
+- classical (the capability C2S provided): a JAX-native convolutional GLM,
+  :class:`deepcalcium_tpu.models.glm_spikes.GLMSegmentation` — the linear
+  core of c2s's STM, trained on TPU, same fit/predict contract.
 """
 
 
 class C2SSegmentation:
-    """Deprecated. See module docstring; use UNet1DSegmentation instead."""
+    """Deprecated. See module docstring; use UNet1DSegmentation (deep) or
+    GLMSegmentation (classical) instead."""
 
     DEPRECATION_REASON = (
         "The reference C2S wrapper is broken upstream (nonexistent metric "
-        "imports, live pdb breakpoints, stub predict); its C++/CMT STM "
-        "dependency adds nothing over UNet1DSegmentation for this task."
+        "imports, live pdb breakpoints, stub predict). Use "
+        "UNet1DSegmentation, or GLMSegmentation for a classical baseline "
+        "(models/glm_spikes.py)."
     )
 
     def __init__(self, *args, **kwargs):

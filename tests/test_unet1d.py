@@ -90,3 +90,19 @@ def test_fit_cross_validate(tmp_path):
     agg = model.fit([path], shape=(64,), error_margin=2, batch=4, nb_epochs=1,
                     val_type="cross_validate", nb_folds=2, seed=3)
     assert "F2" in agg and "val_mean" in agg["F2"]
+
+
+def test_glm_baseline_learns(tmp_path):
+    """The C2S-capability GLM baseline must beat chance on clean synthetic
+    traces (spikes produce a sharp kernel the linear filter can match)."""
+    from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
+
+    paths = [make_spikes_hdf5(str(tmp_path / f"g{i}.hdf5"), name=f"g.{i}",
+                              nb_traces=16, trace_len=512, seed=i)
+             for i in range(2)]
+    model = GLMSegmentation(cpdir=str(tmp_path / "cp"), filter_len=21)
+    mt, mv, ckpt = model.fit(paths, nb_epochs=150, error_margin=4, seed=1)
+    assert mv["F2"] > 0.3, mv
+    preds, names = model.predict(paths, ckpt)
+    assert names == ["g.0", "g.1"]
+    assert preds[0].shape == (16, 512) and preds[0].dtype == np.uint8
