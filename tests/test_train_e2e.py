@@ -152,3 +152,21 @@ def test_sharded_train_step_matches_single(rng):
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(sN)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_fit_deterministic_across_runs(fixture_paths, tmp_path, tiny_model):
+    """Same seed -> identical loss trajectory (a guarantee the reference's
+    global-RNG Keras setup never had)."""
+    init_fn, apply_fn = tiny_model
+
+    def run(cp):
+        model = UNet2DSummary(cpdir=str(tmp_path / cp), net_init_func=init_fn,
+                              net_apply_func=apply_fn)
+        hist, _ = model.fit(fixture_paths, shape_trn=(48, 48),
+                            shape_val=(96, 96), batch_size_trn=4,
+                            nb_steps_trn=4, nb_epochs=1, seed=11)
+        return hist
+
+    h1, h2 = run("cp_a"), run("cp_b")
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h1["val_nf_f1_mean"], h2["val_nf_f1_mean"])
