@@ -1,0 +1,59 @@
+"""Shared TIFF->HDF5 series ingestion core.
+
+One implementation of the decode-and-reduce flow used by both the
+Neurofinder ingester (data/nf.py) and the custom/new-data ingester
+(data/custom.py): chunked decode via the native thread-pool loader (PIL
+fallback), corrupted-frame zero-fill with a warning (reference
+``unet2ds_sj.py:75-82``), raw frames to HDF5, mean/max folded on device
+(ops.summary.StreamingSummary), ``series/mean`` stored float16 per the
+contract (reference ``nf.py:121-124``).
+"""
+
+import logging
+
+import numpy as np
+
+from deepcalcium_tpu.ops.summary import StreamingSummary
+
+logger = logging.getLogger(__name__)
+
+
+def read_tiff(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im)
+
+
+def decode_chunk(paths, i_shape) -> np.ndarray:
+    """Decode TIFF paths -> (N, H, W) int16; corrupted frames zero-fill."""
+    from deepcalcium_tpu.data import tiff_native
+
+    if tiff_native.available():
+        frames, status = tiff_native.decode_batch(list(paths), *i_shape)
+        for p, bad in zip(paths, status):
+            if bad:
+                logger.warning("Error on file %s — zero-filled.", p)
+        return frames
+    out = np.zeros((len(paths),) + tuple(i_shape), np.int16)
+    for i, p in enumerate(paths):
+        try:
+            out[i] = read_tiff(p)
+        except OSError as e:
+            logger.warning("Error on file %s: %s — zero-filling.", p, e)
+    return out
+
+
+def write_series(dsf, s_paths, i_shape, chunk: int = 64) -> None:
+    """Populate series/{raw,mean,max} in an open HDF5 file from TIFF paths."""
+    t = len(s_paths)
+    raw = dsf.create_dataset("series/raw", (t,) + tuple(i_shape), dtype="int16")
+    summ = StreamingSummary(tuple(i_shape), dtype=np.int16)
+    for base in range(0, t, chunk):
+        frames = decode_chunk(s_paths[base : base + chunk], i_shape)
+        raw[base : base + frames.shape[0]] = frames
+        summ.update(frames)
+    mean, mx = summ.result()
+    dsf.create_dataset("series/mean", data=mean.astype(np.float16),
+                       dtype="float16")
+    dsf.create_dataset("series/max", data=mx, dtype="int16")

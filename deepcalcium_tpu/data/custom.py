@@ -23,7 +23,6 @@ from glob import glob
 import h5py
 import numpy as np
 
-from deepcalcium_tpu.ops.summary import StreamingSummary
 from deepcalcium_tpu.utils.runtime import funcname
 
 __all__ = ["make_dataset_from_tiffs", "bbox_masks"]
@@ -65,51 +64,17 @@ def make_dataset_from_tiffs(name: str, tiffglob: str, dataset_path: str,
         logger.info("%s already exists.", dataset_path)
         return dataset_path
 
-    from PIL import Image
-
-    from deepcalcium_tpu.data import tiff_native
+    from deepcalcium_tpu.data._ingest import read_tiff, write_series
 
     paths = sorted(glob(tiffglob))
     if not paths:
         raise FileNotFoundError(f"no TIFFs match {tiffglob}")
-
-    def read(p):
-        with Image.open(p) as im:
-            return np.asarray(im)
-
-    first = read(paths[0])
-    t, (h, w) = len(paths), first.shape
-
-    def decode_chunk(chunk_paths):
-        """Native thread-pool decoder when built; PIL otherwise. Corrupted
-        frames zero-fill either way (reference unet2ds_sj.py:75-82)."""
-        if tiff_native.available():
-            frames, status = tiff_native.decode_batch(chunk_paths, h, w)
-            for p, bad in zip(chunk_paths, status):
-                if bad:
-                    logger.warning("Error on file %s — zero-filled.", p)
-            return frames
-        out = np.zeros((len(chunk_paths), h, w), np.int16)
-        for i, p in enumerate(chunk_paths):
-            try:
-                out[i] = read(p)
-            except OSError as e:
-                logger.warning("Error on file %s: %s — zero-filling.", p, e)
-        return out
+    h, w = read_tiff(paths[0]).shape
 
     tmp = dataset_path + ".tmp"
     with h5py.File(tmp, "w") as fp:
         fp.attrs["name"] = name
-        raw = fp.create_dataset("series/raw", (t, h, w), dtype="int16")
-        summ = StreamingSummary((h, w), dtype=np.int16)
-        for base in range(0, t, chunk):
-            frames = decode_chunk(paths[base : base + chunk])
-            raw[base : base + frames.shape[0]] = frames
-            summ.update(frames)
-        mean, mx = summ.result()
-        fp.create_dataset("series/mean", data=mean.astype(np.float16),
-                          dtype="float16")
-        fp.create_dataset("series/max", data=mx, dtype="int16")
+        write_series(fp, paths, (h, w), chunk)
 
         if masks is None and centers is not None:
             assert radius is not None, "centers require a radius"

@@ -28,7 +28,6 @@ import h5py
 import numpy as np
 
 from deepcalcium_tpu.metrics.neurofinder import label_mask, nf_mask_metrics  # noqa: F401 (re-export)
-from deepcalcium_tpu.ops.summary import StreamingSummary
 from deepcalcium_tpu.utils.config import datasets_dir
 from deepcalcium_tpu.utils.runtime import funcname
 
@@ -78,36 +77,17 @@ def _download_and_unzip(name: str, ddir: str) -> None:
     url = NAME_TO_URL[name]
     zip_path = unzip_path + ".zip"
     logger.info("Downloading %s.", url)
-    resp = requests.get(url, timeout=600)
-    resp.raise_for_status()
-    with open(zip_path, "wb") as fp:
-        fp.write(resp.content)
+    # Stream to disk: the archives are multi-GB and must not be buffered in
+    # host RAM (the reference streamed via urlretrieve too).
+    with requests.get(url, timeout=600, stream=True) as resp:
+        resp.raise_for_status()
+        with open(zip_path, "wb") as fp:
+            for block in resp.iter_content(chunk_size=1 << 22):
+                fp.write(block)
     logger.info("Unzipping %s.", zip_path)
     with zipfile.ZipFile(zip_path, "r") as z:
         z.extractall(ddir)
     os.remove(zip_path)
-
-
-def _read_tiff(path: str) -> np.ndarray:
-    from PIL import Image
-
-    with Image.open(path) as im:
-        return np.asarray(im)
-
-
-def _decode_chunk(paths, i_shape) -> np.ndarray:
-    """Decode a list of TIFF paths to (N, H, W) int16: native multithreaded
-    decoder when built (see data.tiff_native / native/tiff_loader.cpp), PIL
-    otherwise."""
-    from deepcalcium_tpu.data import tiff_native
-
-    if tiff_native.available():
-        frames, status = tiff_native.decode_batch(paths, *i_shape)
-        if status.any():
-            logging.getLogger(funcname()).warning(
-                "%d corrupted TIFF frame(s) zero-filled", int(status.sum()))
-        return frames
-    return np.stack([_read_tiff(p) for p in paths]).astype(np.int16)
 
 
 def ingest_tiff_dataset(ds_dir: str, ds_path: str, name: str,
@@ -116,30 +96,21 @@ def ingest_tiff_dataset(ds_dir: str, ds_path: str, name: str,
 
     Mirrors the reference frames pass (``nf.py:117-144``) with both hot ends
     rebuilt: decode runs in the native thread-pool loader, and the mean/max
-    reduction folds on device (StreamingSummary).
+    reduction folds on device (shared core in data/_ingest.py).
     """
+    from deepcalcium_tpu.data._ingest import read_tiff, write_series
+
     logger = logging.getLogger(funcname())
     s_paths = sorted(glob(os.path.join(ds_dir, "images", "*.tiff"))) or \
         sorted(glob(os.path.join(ds_dir, "images", "*.tif")))
     if not s_paths:
         raise FileNotFoundError(f"no TIFF frames under {ds_dir}/images")
-    first = _read_tiff(s_paths[0])
-    i_shape = first.shape
-    t = len(s_paths)
+    i_shape = read_tiff(s_paths[0]).shape
 
     tmp_path = ds_path + ".tmp"
     with h5py.File(tmp_path, "w") as dsf:
         dsf.attrs["name"] = name
-        raw = dsf.create_dataset("series/raw", (t,) + i_shape, dtype="int16")
-        summ = StreamingSummary(i_shape, dtype=np.int16)
-        for base in range(0, t, chunk):
-            frames = _decode_chunk(s_paths[base : base + chunk], i_shape)
-            raw[base : base + frames.shape[0]] = frames
-            summ.update(frames)
-        mean, mx = summ.result()
-        dsf.create_dataset("series/mean", data=mean.astype(np.float16),
-                           dtype="float16")
-        dsf.create_dataset("series/max", data=mx, dtype="int16")
+        write_series(dsf, s_paths, i_shape, chunk)
 
         # Ground-truth masks (absent for .test sets) — reference nf.py:132-144.
         regions_path = os.path.join(ds_dir, "regions", "regions.json")
@@ -158,7 +129,7 @@ def ingest_tiff_dataset(ds_dir: str, ds_path: str, name: str,
             dsf.create_dataset("masks/max", data=m_max, dtype="int8")
 
     os.replace(tmp_path, ds_path)
-    logger.info("Populated %s (%d frames).", ds_path, t)
+    logger.info("Populated %s (%d frames).", ds_path, len(s_paths))
     return ds_path
 
 

@@ -126,8 +126,13 @@ class UNet1DSegmentation:
 
         if val_type == "random_split":
             idxs = rng.permutation(len(traces))
-            idxs_trn = idxs[: int(len(idxs) * prop_trn)]
-            idxs_val = idxs[-int(len(idxs) * prop_val):]
+            n_trn = int(len(idxs) * prop_trn)
+            idxs_trn = idxs[:n_trn]
+            # Complementary split. (The reference's ``idxs[-int(n*prop):]``
+            # silently validates on the WHOLE dataset when the slice length
+            # rounds to 0 — unet_1d_segmentation.py:337; fixed here.)
+            idxs_val = idxs[n_trn:]
+            assert len(idxs_val) > 0, "prop_val rounds to zero traces"
             mt, mv, bmp = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
                 batch, nb_epochs, learning_rate, seed, mesh)

@@ -285,10 +285,19 @@ class UNet2DSummary:
                           mesh=mesh, max_batch=max_batch)
         Mp = [(p > threshold).astype(np.uint8) for p in probs]
 
+        # The exact mask summary is a sequential host walk — compute it at
+        # most once per dataset and share between scoring and saving.
+        mask_cache: dict[str, np.ndarray] = {}
+
+        def mask_for(dsp):
+            if dsp not in mask_cache:
+                mask_cache[dsp] = self.mask_summary_func(dsp)
+            return mask_cache[dsp]
+
         if print_scores:
             mean_p = mean_r = mean_c = 0.0
             for dsp, name, mp in zip(dataset_paths, names, Mp):
-                m = self.mask_summary_func(dsp)
+                m = mask_for(dsp)
                 p, r, i, e, c = nf_mask_metrics(m, np.round(mp))
                 logger.info(
                     "%s: prec=%.3f, reca=%.3f, incl=%.3f, excl=%.3f, comb=%.3f",
@@ -306,7 +315,7 @@ class UNet2DSummary:
                 with h5py.File(dsp, "r") as fp:
                     has_masks = "masks" in fp
                 if has_masks:
-                    m = self.mask_summary_func(dsp)
+                    m = mask_for(dsp)
                     outlined = mask_outlines(s, [m, np.round(mp)], ["blue", "red"])
                 else:
                     outlined = mask_outlines(s, [np.round(mp)], ["red"])

@@ -142,18 +142,15 @@ def movie_summary_pallas(movie, chunk: int | None = None,
         chunk = max(1, min(64, (12 * 2**20 - fixed) // per_frame))
     tp = -(-t // chunk) * chunk
 
-    neg = (
-        float(np.finfo(np.asarray(movie).dtype).min)
-        if np.issubdtype(np.asarray(movie).dtype, np.floating)
-        else int(np.iinfo(np.asarray(movie).dtype).min)
-    )
-    # Zero-pad the sum-irrelevant spatial borders; pad time with `neg` so the
-    # max is untouched, and compensate the sum on the host side below.
-    movie_p = jnp.pad(
-        jnp.asarray(movie),
-        ((0, tp - t), (0, hp - h), (0, wp - w)),
-        constant_values=neg,
-    )
+    movie = jnp.asarray(movie)
+    # Pad the time axis by REPEATING the last frame: duplicates leave the max
+    # untouched for any dtype (a finfo.min pad would poison float sums), and
+    # their sum contribution is subtracted exactly below. Spatial padding is
+    # zeros and is cropped from both outputs.
+    movie_p = jnp.pad(movie, ((0, 0), (0, hp - h), (0, wp - w)))
+    if tp > t:
+        movie_p = jnp.concatenate(
+            [movie_p, jnp.repeat(movie_p[-1:], tp - t, axis=0)])
     nchunks = tp // chunk
 
     sum_out, max_out = pl.pallas_call(
@@ -173,8 +170,10 @@ def movie_summary_pallas(movie, chunk: int | None = None,
         interpret=interpret,
     )(movie_p)
 
-    # Remove the time-padding contribution (tp - t frames of `neg`) from sums.
-    sum_out = sum_out[:h, :w] - jnp.float32(neg) * (tp - t)
+    # Remove the (tp - t) duplicated-last-frame contributions from the sum.
+    sum_out = sum_out[:h, :w]
+    if tp > t:
+        sum_out = sum_out - movie[-1].astype(jnp.float32) * (tp - t)
     return sum_out / jnp.float32(t), max_out[:h, :w]
 
 

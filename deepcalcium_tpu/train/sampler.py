@@ -132,6 +132,7 @@ class Prefetcher:
                     if self._stop.is_set():
                         return
                     self._q.put(self._put(item))
+                self._q.put(None)  # clean exhaustion -> StopIteration
             except Exception as e:  # surfaced on next __next__
                 self._err = e
                 self._q.put(None)
@@ -143,8 +144,11 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is None:
+            self._q.put(None)  # keep the sentinel for further __next__ calls
             raise self._err or StopIteration
         return item
 

@@ -62,3 +62,22 @@ def test_sharded_summary_matches_single_device(rng):
     mean, mx = movie_summary_sharded(movie, mesh, axis="data", chunk=8)
     np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(mx), movie.max(0))
+
+
+def test_pallas_float_movie_nondivisible_t(rng):
+    """Regression: float movies with T % chunk != 0 must not NaN (the old
+    finfo.min time-padding poisoned the sum)."""
+    movie = rng.standard_normal((10, 8, 128)).astype(np.float32) - 5.0
+    mean, mx = movie_summary_pallas(movie, chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mx), movie.max(0))
+
+
+def test_pallas_all_negative_int_movie(rng):
+    """Max must survive zero spatial padding + duplicate time padding even
+    when every value is negative."""
+    movie = rng.integers(-5000, -10, (7, 8, 130)).astype(np.int16)
+    mean, mx = movie_summary_pallas(movie, chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mx), movie.max(0))

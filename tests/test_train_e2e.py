@@ -170,3 +170,13 @@ def test_fit_deterministic_across_runs(fixture_paths, tmp_path, tiny_model):
     h1, h2 = run("cp_a"), run("cp_b")
     np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
     np.testing.assert_allclose(h1["val_nf_f1_mean"], h2["val_nf_f1_mean"])
+
+
+def test_prefetcher_stops_cleanly():
+    """Regression: a finite generator must raise StopIteration, not hang."""
+    from deepcalcium_tpu.train.sampler import Prefetcher
+
+    pf = Prefetcher(iter([1, 2, 3]))
+    assert list(pf) == [1, 2, 3]
+    with pytest.raises(StopIteration):
+        next(pf)
