@@ -199,8 +199,10 @@ class UNet1DSegmentation:
         rng = jax.random.PRNGKey(seed + 2)
         best_f2, best_path = -1.0, None
         # Fixed sample batches for the per-epoch prediction plots
-        # (reference _SamplePlotCallback, :26-46; <=30 traces).
-        nb_plot = min(30, x_val.shape[0])
+        # (reference _SamplePlotCallback, :26-46, plotted <=30; we cap at 8 —
+        # 30 full-length matplotlib subplots per epoch dominates wall-clock
+        # on small hosts).
+        nb_plot = min(8, x_val.shape[0])
 
         for epoch in range(nb_epochs):
             # Device-side metric accumulation; one host sync per epoch.

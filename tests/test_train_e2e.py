@@ -180,3 +180,23 @@ def test_prefetcher_stops_cleanly():
     assert list(pf) == [1, 2, 3]
     with pytest.raises(StopIteration):
         next(pf)
+
+
+def test_predict_non_square_images(tmp_path, tiny_model):
+    """Neurofinder images are non-square (e.g. 463x472); the pad->TTA->crop
+    chain must round-trip their shapes."""
+    from deepcalcium_tpu.train.evaluate import predict_batched, predict_tta
+    from deepcalcium_tpu.train import trainer as T
+
+    init_fn, apply_fn = tiny_model
+    params, state = init_fn(jax.random.PRNGKey(0))
+    fwd = T.make_eval_forward(apply_fn)
+    rng = np.random.default_rng(0)
+    images = [rng.standard_normal((48, 64)).astype(np.float32),
+              rng.standard_normal((64, 48)).astype(np.float32),
+              rng.standard_normal((64, 64)).astype(np.float32)]
+    for predictor in (predict_batched, predict_tta):
+        out = predictor(fwd, params, state, images, window=(64, 64))
+        assert [o.shape for o in out] == [(48, 64), (64, 48), (64, 64)]
+        for o in out:
+            assert np.isfinite(o).all()
