@@ -89,13 +89,17 @@ class UNet2DSummary:
             nb_steps_trn=200, nb_epochs=20, prop_trn=0.75, prop_val=0.25,
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=True, nb_max_augment=15,
-            keras_callbacks=None, profile_dir=None):
+            epoch_callbacks=(), profile_dir=None):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
         333-432``): row-split train/validation bands per dataset, per-epoch
         Neurofinder validation on 6 augmented full-image copies, checkpoints
         every epoch named by val F1, ReduceLROnPlateau on train F1.
+
+        ``epoch_callbacks``: the extension point the reference exposed as
+        ``keras_callbacks`` (:427) — callables ``f(epoch, logs_dict)`` run at
+        the end of every epoch.
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
@@ -211,6 +215,9 @@ class UNet2DSummary:
                 # Adaptive dataset re-weighting from val F1 (:482-489).
                 if adaptive_sampling:
                     sampler.reweight(name_to_f1)
+
+                for cb in epoch_callbacks:
+                    cb(epoch, agg)
         finally:
             prefetch.close()
 

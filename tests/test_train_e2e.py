@@ -200,3 +200,15 @@ def test_predict_non_square_images(tmp_path, tiny_model):
         assert [o.shape for o in out] == [(48, 64), (64, 48), (64, 64)]
         for o in out:
             assert np.isfinite(o).all()
+
+
+def test_epoch_callbacks_invoked(fixture_paths, tmp_path, tiny_model):
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    seen = []
+    model.fit(fixture_paths, shape_trn=(48, 48), shape_val=(96, 96),
+              batch_size_trn=4, nb_steps_trn=2, nb_epochs=2, seed=5,
+              epoch_callbacks=[lambda e, logs: seen.append((e, logs["loss"]))])
+    assert [e for e, _ in seen] == [0, 1]
+    assert all(np.isfinite(l) for _, l in seen)
