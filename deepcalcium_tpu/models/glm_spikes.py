@@ -18,7 +18,6 @@ It is intentionally small: a baseline to compare UNet1D against, not the
 flagship.
 """
 
-import functools
 import logging
 import os
 import time

@@ -88,7 +88,7 @@ class UNet2DSummary:
             shape_trn=(96, 96), shape_val=(512, 512), batch_size_trn=32,
             nb_steps_trn=200, nb_epochs=20, prop_trn=0.75, prop_val=0.25,
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
-            mesh=None, adaptive_sampling=True, nb_max_augment=15,
+            mesh=None, adaptive_sampling=False, nb_max_augment=15,
             epoch_callbacks=(), profile_dir=None):
         """Train; returns (history dict, best checkpoint path).
 
@@ -100,6 +100,11 @@ class UNet2DSummary:
         ``epoch_callbacks``: the extension point the reference exposed as
         ``keras_callbacks`` (:427) — callables ``f(epoch, logs_dict)`` run at
         the end of every epoch.
+
+        ``adaptive_sampling`` defaults to False for parity: the reference's
+        fit never wires ``scores_path`` into its generator (:419 constructs
+        the validation callback without it), so its adaptive re-weighting
+        machinery (:482-489) is dormant by default too.
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]

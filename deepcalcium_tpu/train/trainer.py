@@ -16,7 +16,6 @@ train step:
   epochs without recompiling.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
