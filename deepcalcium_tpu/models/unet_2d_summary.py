@@ -25,6 +25,7 @@ import time
 
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from deepcalcium_tpu.metrics.neurofinder import nf_mask_metrics
@@ -89,7 +90,7 @@ class UNet2DSummary:
             nb_steps_trn=200, nb_epochs=20, prop_trn=0.75, prop_val=0.25,
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=False, nb_max_augment=15,
-            epoch_callbacks=(), profile_dir=None):
+            epoch_callbacks=(), profile_dir=None, ema_decay=None):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -105,6 +106,10 @@ class UNet2DSummary:
         fit never wires ``scores_path`` into its generator (:419 constructs
         the validation callback without it), so its adaptive re-weighting
         machinery (:482-489) is dormant by default too.
+
+        ``ema_decay`` (e.g. 0.999): beyond-reference option — validate and
+        checkpoint a Polyak average of the weights instead of the raw
+        iterates (stabilizes the full-image thresholded metric).
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
@@ -157,6 +162,8 @@ class UNet2DSummary:
 
         best_f1, best_path = -1.0, None
         history: dict[str, list] = {}
+        # Real copies: the step donates the params buffers each iteration.
+        ema_params = jax.tree.map(jnp.copy, params) if ema_decay else None
         from deepcalcium_tpu.utils.profiling import trace
 
         try:
@@ -172,6 +179,9 @@ class UNet2DSummary:
                         rng, sub = jax.random.split(rng)
                         params, state, opt_state, met = step(
                             params, state, opt_state, sb, mb, sub)
+                        if ema_decay:
+                            ema_params = T.ema_update(ema_params, params,
+                                                      ema_decay)
                         step_metrics.append(met)
                 # One sync per epoch: fetch and average.
                 fetched = jax.device_get(step_metrics)
@@ -180,10 +190,13 @@ class UNet2DSummary:
                     for k in fetched[0]
                 }
 
-                # Full-image Neurofinder validation (reference :31-120).
+                # Full-image Neurofinder validation (reference :31-120);
+                # with EMA enabled, the averaged weights are what get
+                # validated and checkpointed.
+                eval_params = ema_params if ema_decay else params
                 vmet, name_to_f1 = self._validate(
-                    eval_fwd, params, state, S, M, names, ycval, shape_val,
-                    mesh, epoch)
+                    eval_fwd, eval_params, state, S, M, names, ycval,
+                    shape_val, mesh, epoch)
                 agg.update(vmet)
                 # NaN sanitizer (SURVEY §5): a diverged run should fail loud
                 # and early, not checkpoint garbage for hours.
@@ -208,7 +221,7 @@ class UNet2DSummary:
                 cp = os.path.join(
                     self.cpdir,
                     f"{tic}_model_{epoch:02d}_{agg['val_nf_f1_mean']:.3f}.ckpt")
-                save_checkpoint(cp, params, state, opt_state,
+                save_checkpoint(cp, eval_params, state, opt_state,
                                 meta={"epoch": epoch, **{k: float(v) for k, v in agg.items()}})
                 if agg["val_nf_f1_mean"] > best_f1:
                     best_f1, best_path = agg["val_nf_f1_mean"], cp

@@ -122,6 +122,17 @@ def make_train_step(apply_fn, loss_fn, optimizer, metric_fns=None, mesh=None):
     )
 
 
+@jax.jit
+def ema_update(ema, params, decay):
+    """Polyak averaging: ema <- decay*ema + (1-decay)*params.
+
+    An opt-in stabilizer beyond the reference recipe: evaluating/checkpointing
+    the EMA weights smooths the train-window/full-image distribution cliff
+    (docs/VALIDATION.md §3b) without touching the optimization trajectory.
+    """
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
+
+
 def make_eval_forward(apply_fn, mesh=None):
     """Jitted batched inference forward, batch-sharded when a mesh is given."""
 

@@ -212,3 +212,17 @@ def test_epoch_callbacks_invoked(fixture_paths, tmp_path, tiny_model):
               epoch_callbacks=[lambda e, logs: seen.append((e, logs["loss"]))])
     assert [e for e, _ in seen] == [0, 1]
     assert all(np.isfinite(l) for _, l in seen)
+
+
+def test_fit_with_ema(fixture_paths, tmp_path, tiny_model):
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    hist, best = model.fit(fixture_paths, shape_trn=(48, 48),
+                           shape_val=(96, 96), batch_size_trn=4,
+                           nb_steps_trn=3, nb_epochs=1, seed=5,
+                           ema_decay=0.9)
+    assert best is not None and np.isfinite(hist["loss"]).all()
+    # The checkpointed EMA weights drive predict without issue.
+    Mp, _ = model.predict(fixture_paths, best, window_shape=(96, 96))
+    assert Mp[0].shape == (96, 96)
