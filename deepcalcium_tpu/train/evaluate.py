@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
 from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
 
-__all__ = ["reflect_pad_to", "predict_batched", "predict_tta"]
+__all__ = ["reflect_pad_to", "predict_batched", "predict_tta",
+           "predict_tiled"]
 
 
 def reflect_pad_to(img: np.ndarray, hw: int, ww: int) -> np.ndarray:
@@ -61,6 +62,55 @@ def predict_batched(fwd, params, state, images, window=(512, 512), mesh=None,
     batch = np.stack([reflect_pad_to(np.asarray(s, np.float32), hw, ww) for s in images])
     probs = _run_batched(fwd, params, state, batch, mesh=mesh, max_batch=max_batch)
     return [p[: s.shape[0], : s.shape[1]] for p, s in zip(probs, images)]
+
+
+def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=64,
+                  mesh=None, max_batch=None):
+    """Sliding-window prediction for an image LARGER than the network window.
+
+    The reference cannot do this (it asserts 512² and pads up,
+    ``unet_2d_summary.py:565-566``); here big fields of view tile into
+    overlapping windows, run as one batch, and blend by averaging the
+    overlaps (cosine-free uniform blend — U-Net borders are the reason for
+    the overlap).
+
+    # Arguments
+        img: one (H, W) image with H, W >= window is allowed in either or
+            both dims (smaller dims are reflect-padded).
+        overlap: pixels of overlap between adjacent tiles.
+
+    # Returns
+        (H, W) float probability map.
+    """
+    img = np.asarray(img, np.float32)
+    hw, ww = window
+    h, w = img.shape
+    ph, pw = max(h, hw), max(w, ww)
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="reflect") \
+        if (ph > h or pw > w) else img
+
+    stride_y = hw - overlap if ph > hw else hw
+    stride_x = ww - overlap if pw > ww else ww
+    ys = list(range(0, max(ph - hw, 0) + 1, stride_y))
+    xs = list(range(0, max(pw - ww, 0) + 1, stride_x))
+    if ys[-1] != ph - hw:
+        ys.append(ph - hw)
+    if xs[-1] != pw - ww:
+        xs.append(pw - ww)
+
+    tiles = np.stack([padded[y : y + hw, x : x + ww] for y in ys for x in xs])
+    probs = _run_batched(fwd, params, state, tiles, mesh=mesh,
+                         max_batch=max_batch)
+
+    acc = np.zeros((ph, pw), np.float64)
+    cnt = np.zeros((ph, pw), np.float64)
+    i = 0
+    for y in ys:
+        for x in xs:
+            acc[y : y + hw, x : x + ww] += probs[i]
+            cnt[y : y + hw, x : x + ww] += 1.0
+            i += 1
+    return (acc / cnt)[:h, :w].astype(np.float32)
 
 
 def predict_tta(fwd, params, state, images, window=(512, 512), mesh=None,

@@ -226,3 +226,26 @@ def test_fit_with_ema(fixture_paths, tmp_path, tiny_model):
     # The checkpointed EMA weights drive predict without issue.
     Mp, _ = model.predict(fixture_paths, best, window_shape=(96, 96))
     assert Mp[0].shape == (96, 96)
+
+
+def test_predict_tiled_large_image(tiny_model):
+    """Images larger than the window tile + blend (beyond-reference)."""
+    from deepcalcium_tpu.train.evaluate import predict_batched, predict_tiled
+    from deepcalcium_tpu.train import trainer as T
+
+    init_fn, apply_fn = tiny_model
+    params, state = init_fn(jax.random.PRNGKey(0))
+    fwd = T.make_eval_forward(apply_fn)
+    rng = np.random.default_rng(3)
+    big = rng.standard_normal((112, 160)).astype(np.float32)
+
+    out = predict_tiled(fwd, params, state, big, window=(64, 64), overlap=16)
+    assert out.shape == (112, 160)
+    assert np.isfinite(out).all() and 0 <= out.min() and out.max() <= 1
+
+    # Interior agreement with a single big-window pass (borders differ by
+    # design; compare away from tile seams loosely).
+    whole = predict_batched(fwd, params, state, [big], window=(112, 160))[0]
+    # predict_batched window must be multiple of 16 for the net: 112x160 ok.
+    diff = np.abs(out - whole)
+    assert np.median(diff) < 0.25
