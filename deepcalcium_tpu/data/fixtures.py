@@ -180,3 +180,53 @@ def make_realistic_hdf5(path, name, shape=(256, 256), nb_frames=128,
         fp.create_dataset("masks/raw", data=masks, dtype="int8")
         fp.create_dataset("masks/max", data=masks.max(axis=0), dtype="int8")
     return path
+
+
+def make_keras_unet2ds_hdf5(path, nfb=4, seed=0):
+    """Synthesize a Keras-2.0.6-layout UNet2DS checkpoint (save_model HDF5
+    structure: model_weights group, layer_names/weight_names attrs) with
+    random weights in Keras shape conventions — for testing the migration
+    path without the unreachable released weights."""
+    import jax
+
+    from deepcalcium_tpu.models import unet2d
+
+    rng = np.random.default_rng(seed)
+    params, state = unet2d.init(jax.random.PRNGKey(seed), nfb=nfb)
+
+    counters = {"conv": 0, "tconv": 0, "bn": 0}
+    layer_names, groups = [], {}
+    for name, kind, cout in unet2d.layer_order(nfb):
+        if kind in ("conv3", "conv1"):
+            counters["conv"] += 1
+            lname = f"conv2d_{counters['conv']}"
+            ws = {f"{lname}/kernel:0": rng.standard_normal(
+                      params[name]["kernel"].shape).astype(np.float32) * 0.05,
+                  f"{lname}/bias:0": np.zeros((cout,), np.float32)}
+        elif kind == "tconv":
+            counters["tconv"] += 1
+            lname = f"conv2d_transpose_{counters['tconv']}"
+            ws = {f"{lname}/kernel:0": rng.standard_normal(
+                      params[name]["kernel"].shape).astype(np.float32) * 0.05,
+                  f"{lname}/bias:0": np.zeros((cout,), np.float32)}
+        else:
+            counters["bn"] += 1
+            lname = f"batch_normalization_{counters['bn']}"
+            ws = {f"{lname}/gamma:0": np.ones((cout,), np.float32),
+                  f"{lname}/beta:0": np.zeros((cout,), np.float32),
+                  f"{lname}/moving_mean:0": np.zeros((cout,), np.float32),
+                  f"{lname}/moving_variance:0": np.ones((cout,), np.float32)}
+        layer_names.append(lname)
+        groups[lname] = ws
+
+    with h5py.File(path, "w") as fp:
+        fp.attrs["model_config"] = b"{}"
+        mw = fp.create_group("model_weights")
+        mw.attrs["layer_names"] = np.array([n.encode() for n in layer_names])
+        for lname in layer_names:
+            g = mw.create_group(lname)
+            ws = groups[lname]
+            g.attrs["weight_names"] = np.array([w.encode() for w in ws])
+            for wname, arr in ws.items():
+                g.create_dataset(wname, data=arr)
+    return path

@@ -290,10 +290,16 @@ class UNet1DSegmentation:
         """Full-trace-length spike prediction (reference ``:422-459``).
 
         Traces are reflect-padded to a multiple of 16 (4 pools) and cropped
-        back — no model rebuild needed.
+        back — no model rebuild needed. ``model_path`` may be a native
+        ``.ckpt`` or a Keras ``.hdf5`` (imported via interop.keras_import).
         """
-        params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
-        params, state, _, _ = load_checkpoint(model_path, params0, state0)
+        if str(model_path).endswith((".hdf5", ".h5")):
+            from deepcalcium_tpu.interop.keras_import import load_unet1d_keras
+
+            params, state = load_unet1d_keras(model_path)
+        else:
+            params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
+            params, state, _, _ = load_checkpoint(model_path, params0, state0)
         apply_fn = functools.partial(
             self.net_apply_func, margin=int(error_margin),
             compute_dtype=self.compute_dtype)

@@ -292,10 +292,20 @@ class UNet2DSummary:
                 threshold=0.5, mesh=None, max_batch=None):
         """Predict masks; returns (Mp, names) like the reference
         (``unet_2d_summary.py:532-625``). ``augmentation=True`` runs the
-        fused 8x TTA batch."""
+        fused 8x TTA batch.
+
+        ``model_path`` may be a native ``.ckpt`` OR a Keras ``.hdf5``/``.h5``
+        checkpoint (e.g. the reference's released ``unet2ds_model.hdf5``) —
+        Keras files are imported through interop.keras_import transparently.
+        """
         logger = logging.getLogger(funcname())
-        params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
-        params, state, _, _ = load_checkpoint(model_path, params0, state0)
+        if str(model_path).endswith((".hdf5", ".h5")):
+            from deepcalcium_tpu.interop.keras_import import load_unet2ds_keras
+
+            params, state = load_unet2ds_keras(model_path)
+        else:
+            params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
+            params, state, _, _ = load_checkpoint(model_path, params0, state0)
         logger.info("Loaded model from %s.", model_path)
 
         apply_fn = functools.partial(

@@ -142,3 +142,24 @@ def test_import_rejects_wrong_order(tmp_path, init_shapes_2d):
         fp["model_weights"].attrs["layer_names"] = np.array(names)
     with pytest.raises(ValueError):
         load_unet2ds_keras(path, nfb=4)
+
+
+def test_predict_directly_from_keras_hdf5(tmp_path):
+    """Migration path: UNet2DSummary.predict(model_path='*.hdf5') routes a
+    Keras checkpoint through the import shim transparently."""
+    import functools
+
+    from deepcalcium_tpu.data.fixtures import (
+        make_keras_unet2ds_hdf5, make_neurons_hdf5)
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    ds = make_neurons_hdf5(str(tmp_path / "d" / "dataset.hdf5"),
+                           name="mig.0", shape=(96, 96), nb_frames=16)
+    keras_ckpt = make_keras_unet2ds_hdf5(str(tmp_path / "unet2ds_model.hdf5"),
+                                         nfb=4)
+    model = UNet2DSummary(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet2d.init, nfb=4))
+    Mp, names = model.predict([ds], keras_ckpt, window_shape=(96, 96),
+                              augmentation=True)
+    assert names == ["mig.0"] and Mp[0].shape == (96, 96)
