@@ -72,21 +72,40 @@ def segment_movie(params, state, movie, slab: int = 64, mesh=None,
     seg = _make_segment_slab(hp, wp, compute_dtype, threshold, mesh=mesh,
                              apply_fn=apply_fn)
 
+    # HDF5-read + pad + host->device transfer runs on a background thread
+    # (Prefetcher) so it overlaps the device compute of the previous slab —
+    # the pipeline is transfer-bound on thin host links.
+    from deepcalcium_tpu.train.sampler import Prefetcher
+
+    def slabs():
+        for t0 in range(0, t, slab):
+            chunk = np.asarray(movie[t0 : t0 + slab])
+            true = chunk.shape[0]
+            if true < slab:  # pad the tail slab to the compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((slab - true, h, w), chunk.dtype)])
+            yield t0, true, chunk
+
+    def put(item):
+        t0, true, chunk = item
+        if mesh is not None:
+            dev = jax.device_put(chunk, batch_sharding(mesh, 3))
+        else:
+            dev = jax.device_put(chunk)
+        return t0, true, dev
+
     out = np.empty((t, h, w), np.uint8)
     pending = []  # (future, t0, true_len) — keep one slab in flight
-    for t0 in range(0, t, slab):
-        chunk = np.asarray(movie[t0 : t0 + slab])
-        true = chunk.shape[0]
-        if true < slab:  # pad the tail slab to the compiled shape
-            chunk = np.concatenate(
-                [chunk, np.zeros((slab - true, h, w), chunk.dtype)])
-        if mesh is not None:
-            chunk = jax.device_put(chunk, batch_sharding(mesh, 3))
-        fut = seg(params, state, jnp.asarray(chunk))
-        pending.append((fut, t0, true))
-        if len(pending) >= 2:  # drain the oldest; keeps one slab in flight
-            f, s0, n0 = pending.pop(0)
+    prefetch = Prefetcher(slabs(), put_fn=put, depth=2)
+    try:
+        for t0, true, dev in prefetch:
+            fut = seg(params, state, dev)
+            pending.append((fut, t0, true))
+            if len(pending) >= 2:  # drain the oldest
+                f, s0, n0 = pending.pop(0)
+                out[s0 : s0 + n0] = np.asarray(f)[:n0]
+        for f, s0, n0 in pending:
             out[s0 : s0 + n0] = np.asarray(f)[:n0]
-    for f, s0, n0 in pending:
-        out[s0 : s0 + n0] = np.asarray(f)[:n0]
+    finally:
+        prefetch.close()
     return out
