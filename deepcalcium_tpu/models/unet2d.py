@@ -118,7 +118,7 @@ def init(key, nfb: int = _F, up_mode: str = "transpose"):
 
 def apply(params, state, x, train: bool = False, rng=None,
           drp: float = 0.25, compute_dtype=None, precision=None,
-          up_mode: str = "transpose", capture=None):
+          up_mode: str = "transpose", capture=None, remat: bool = False):
     """Forward pass.
 
     # Arguments
@@ -131,6 +131,9 @@ def apply(params, state, x, train: bool = False, rng=None,
         capture: optional dict; when given, per-block activations are stored
             into it (for inspection tooling — the reference's
             unet2ds_inspection notebook counterpart).
+        remat: rematerialize conv-BN-ReLU blocks on the backward pass
+            (jax.checkpoint) — trades ~1 extra forward of FLOPs for O(depth)
+            less activation HBM; enables big batches at 512² windows.
 
     # Returns
         (probs, new_state): (B, H, W) foreground probabilities and updated
@@ -142,11 +145,17 @@ def apply(params, state, x, train: bool = False, rng=None,
     new_state = dict(state)
     rngs = iter(jax.random.split(rng, 16)) if rng is not None else None
 
+    def _cbr_pure(p_conv, p_bn, s_bn, h):
+        y = B.conv2d(h, p_conv, dtype=dt, precision=precision)
+        y, s = B.batch_norm(y, p_bn, s_bn, train, 0.99)
+        return jax.nn.relu(y), s
+
+    cbr_fn = jax.checkpoint(_cbr_pure) if remat else _cbr_pure
+
     def cbr(name, h):
-        y = B.conv2d(h, params[f"{name}_conv"], dtype=dt, precision=precision)
-        y, s = B.batch_norm(y, params[f"{name}_bn"], state[f"{name}_bn"], train, 0.99)
+        y, s = cbr_fn(params[f"{name}_conv"], params[f"{name}_bn"],
+                      state[f"{name}_bn"], h)
         new_state[f"{name}_bn"] = s
-        y = jax.nn.relu(y)
         if capture is not None:
             capture[name] = y
         return y

@@ -174,3 +174,25 @@ def test_upsampling_mode():
                             np.zeros((1, 32, 32), np.float32),
                             up_mode="upsampling")
     assert probs.shape == (1, 32, 32)
+
+
+def test_remat_matches_plain(small_net):
+    """jax.checkpoint rematerialization must not change outputs or grads."""
+    params, state = small_net
+    x = np.random.default_rng(11).standard_normal((2, 32, 32)).astype(np.float32)
+    yt = (np.random.default_rng(12).random((2, 32, 32)) > 0.9).astype(np.float32)
+
+    p1, _ = unet2d.apply(params, state, x)
+    p2, _ = unet2d.apply(params, state, x, remat=True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+
+    def loss(p, remat):
+        probs, _ = unet2d.apply(p, state, x, train=True,
+                                rng=jax.random.PRNGKey(0), remat=remat)
+        return jnp.mean((probs - yt) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, False))(params)
+    g2 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
