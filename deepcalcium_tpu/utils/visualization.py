@@ -133,9 +133,21 @@ def dataset_to_mp4(s, m, mp4_path):
 
         imageio.mimwrite(mp4_path, video, fps=30)
         logger.info("Saved video %s", mp4_path)
+        return
     except Exception:
-        frames_dir = mp4_path + ".frames"
-        os.makedirs(frames_dir, exist_ok=True)
-        for i in range(0, len(video), max(1, len(video) // 100)):
-            save_png(os.path.join(frames_dir, f"frame_{i:06d}.png"), video[i])
-        logger.warning("No mp4 writer available; wrote PNG frames to %s", frames_dir)
+        pass
+    try:
+        # No ffmpeg plugin: animated GIF needs only Pillow.
+        import imageio.v2 as imageio
+
+        gif_path = os.path.splitext(mp4_path)[0] + ".gif"
+        imageio.mimwrite(gif_path, video, duration=1000 / 30, loop=0)
+        logger.warning("No mp4 codec available; saved GIF %s instead", gif_path)
+        return
+    except Exception:
+        pass
+    frames_dir = mp4_path + ".frames"
+    os.makedirs(frames_dir, exist_ok=True)
+    for i in range(0, len(video), max(1, len(video) // 100)):
+        save_png(os.path.join(frames_dir, f"frame_{i:06d}.png"), video[i])
+    logger.warning("No video writer available; wrote PNG frames to %s", frames_dir)
