@@ -181,36 +181,81 @@ def movie_summary_pallas(movie, chunk: int | None = None,
 # Host-streaming accumulator (ingest path)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1)
+def _device_bandwidth_mbps() -> float:
+    """Measured host->device transfer bandwidth (MB/s), cached per process.
+
+    The device *platform* string cannot distinguish a DMA-attached chip from
+    a tunneled remote one (both say 'tpu'); a transfer probe can. The probe
+    data is random — compressible zeros overstate tunnel links by ~5x. CPU
+    backends return inf (no transfer cost)."""
+    import time
+
+    if jax.devices()[0].platform.lower() == "cpu":
+        return float("inf")
+    probe = np.random.default_rng(0).integers(
+        0, 2**15, (2048, 1024), dtype=np.int16)  # 4 MB, incompressible
+    jax.block_until_ready(jax.device_put(probe))  # warm the path
+    tic = time.perf_counter()
+    jax.block_until_ready(jax.device_put(probe + 1))
+    dt = time.perf_counter() - tic
+    return 4.0 / max(dt, 1e-9)
+
+
 class StreamingSummary:
-    """Fold host-decoded frame chunks into device-resident mean/max state.
+    """Fold host-decoded frame chunks into mean/max accumulators.
 
     Replaces the reference's per-frame NumPy accumulation
-    (``datasets/nf.py:126-130``) with donated jitted chunk updates: the only
-    host<->device traffic is the raw frames (which must cross anyway) and the
-    final (H, W) fetch.
+    (``datasets/nf.py:126-130``). Two backends:
+
+    - ``device``: donated jitted chunk updates; the movie crosses host->device
+      once and the reduction is free alongside. Right when the accelerator is
+      DMA-attached (a real TPU VM).
+    - ``host``: vectorized NumPy accumulation. Right when frames would have
+      to cross a thin link just to be reduced (e.g. a tunneled remote chip,
+      where the transfer costs more than the whole reduction).
+
+    ``backend='auto'`` picks ``device`` only for directly-attached
+    accelerators (platform 'tpu'/'gpu'/'cuda'); tunneled or CPU-only
+    environments use ``host``.
     """
 
-    def __init__(self, frame_shape, dtype=jnp.int16):
-        neg = (
-            jnp.finfo(dtype).min
-            if jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
-            else jnp.iinfo(dtype).min
-        )
-        self._sum = jnp.zeros(frame_shape, jnp.float32)
-        self._max = jnp.full(frame_shape, neg, dtype)
+    def __init__(self, frame_shape, dtype=jnp.int16, backend: str = "auto"):
+        assert backend in ("auto", "device", "host")
+        if backend == "auto":
+            # DMA-attached accelerators measure multi-GB/s; tunneled remotes
+            # measure O(100 MB/s), where the chunk round-trips cost far more
+            # than the whole reduction does on host.
+            backend = "device" if _device_bandwidth_mbps() > 1000.0 else "host"
+        self.backend = backend
+        npdtype = np.dtype(dtype)
+        neg = (np.finfo(npdtype).min if np.issubdtype(npdtype, np.floating)
+               else np.iinfo(npdtype).min)
         self._count = 0
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _update(s, m, chunk):
-            s = s + jnp.sum(chunk.astype(jnp.float32), axis=0)
-            m = jnp.maximum(m, jnp.max(chunk, axis=0))
-            return s, m
+        if backend == "host":
+            self._sum = np.zeros(frame_shape, np.float32)
+            self._max = np.full(frame_shape, neg, npdtype)
+        else:
+            self._sum = jnp.zeros(frame_shape, jnp.float32)
+            self._max = jnp.full(frame_shape, neg, dtype)
 
-        self._update = _update
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def _update(s, m, chunk):
+                s = s + jnp.sum(chunk.astype(jnp.float32), axis=0)
+                m = jnp.maximum(m, jnp.max(chunk, axis=0))
+                return s, m
+
+            self._update = _update
 
     def update(self, chunk) -> None:
         """chunk: (C, H, W) host array of frames."""
-        self._sum, self._max = self._update(self._sum, self._max, jnp.asarray(chunk))
+        if self.backend == "host":
+            self._sum += np.sum(np.asarray(chunk, np.float32), axis=0)
+            np.maximum(self._max, np.max(chunk, axis=0), out=self._max)
+        else:
+            self._sum, self._max = self._update(
+                self._sum, self._max, jnp.asarray(chunk))
         self._count += chunk.shape[0]
 
     def result(self):
