@@ -1,0 +1,66 @@
+"""Coverage for utility corners: video export, profiling, distributed init,
+config."""
+
+import os
+
+import numpy as np
+
+from deepcalcium_tpu.utils.config import base_dir, get_config
+from deepcalcium_tpu.utils.profiling import ThroughputMeter, trace
+from deepcalcium_tpu.utils.runtime import Stopwatch, funcname, phase_timer
+from deepcalcium_tpu.utils.visualization import dataset_to_mp4
+
+
+def test_dataset_to_mp4_gif_fallback(tmp_path):
+    """No ffmpeg in this image: the writer must degrade to GIF (or frames)
+    without raising."""
+    s = np.random.default_rng(0).integers(0, 1000, (6, 24, 24)).astype(np.int16)
+    m = np.zeros((1, 24, 24), np.int8)
+    m[0, 8:16, 8:16] = 1
+    out = str(tmp_path / "movie.mp4")
+    dataset_to_mp4(s, m, out)
+    produced = (os.path.exists(out) or os.path.exists(str(tmp_path / "movie.gif"))
+                or os.path.isdir(out + ".frames"))
+    assert produced
+
+
+def test_dataset_to_mp4_no_masks(tmp_path):
+    s = np.random.default_rng(1).integers(0, 100, (4, 16, 16)).astype(np.int16)
+    dataset_to_mp4(s, None, str(tmp_path / "m.mp4"))
+
+
+def test_trace_noop_and_dir(tmp_path):
+    with trace(None):
+        pass  # no-op must not require a profiler backend
+    meter = ThroughputMeter()
+    with meter.track("phase", items=10):
+        sum(range(1000))
+    assert meter.rates()["phase"] > 0
+
+
+def test_runtime_helpers():
+    def inner():
+        return funcname()
+
+    assert inner() == "inner"
+    sw = Stopwatch()
+    with sw.track("a"):
+        pass
+    assert "a" in sw.totals
+    with phase_timer("t", items=5):
+        pass
+
+
+def test_config_roundtrip():
+    cfg = get_config()
+    assert os.path.isdir(cfg["datasets_dir"])
+    assert os.path.isdir(cfg["checkpoints_dir"])
+    assert base_dir() in cfg["datasets_dir"]
+
+
+def test_distributed_single_host_noop():
+    from deepcalcium_tpu.parallel.distributed import initialize, pod_mesh
+
+    initialize()  # single host: must not raise
+    mesh = pod_mesh()
+    assert mesh.devices.size >= 1
