@@ -241,6 +241,13 @@ class UNet1DSegmentation:
             logger.info("epoch %d: loss=%.4f F2=%.4f val_F2=%.4f",
                         epoch, agg["loss"], agg["F2"], agg["val_F2"])
 
+            # NaN sanitizer (same policy as the 2D fit): fail loud instead of
+            # finishing a diverged run with no checkpoint at all.
+            if not np.isfinite(agg["loss"]) or not np.isfinite(agg["val_F2"]):
+                raise FloatingPointError(
+                    f"non-finite training loss/val_F2 at epoch {epoch}: "
+                    f"loss={agg['loss']}, val_F2={agg['val_F2']}")
+
             # Best-only checkpoint on val_F2 (reference :293-294).
             if agg["val_F2"] > best_f2:
                 best_f2 = agg["val_F2"]
@@ -249,13 +256,21 @@ class UNet1DSegmentation:
                 save_checkpoint(best_path, params, state, opt_state,
                                 meta={"epoch": epoch, "val_F2": best_f2})
 
-        # Reload best and re-evaluate train + val (reference :304-314).
+        # Reload best and re-evaluate train + val (reference :304-314). The
+        # train-side evaluation covers steps_trn batches — one window per
+        # training trace, like the reference's evaluate_generator — not a
+        # single high-variance batch.
+        assert best_path is not None  # guaranteed by the NaN sanitizer above
         params, state, _, _ = load_checkpoint(best_path, params, state)
-        x_trn, y_trn = next(gen)
-        out_trn = np.asarray(eval_fwd(params, state, jnp.asarray(x_trn)))
+        sums: dict[str, float] = {}
+        for _ in range(steps_trn):
+            x_trn, y_trn = next(gen)
+            out_trn = np.asarray(eval_fwd(params, state, jnp.asarray(x_trn)))
+            for k, fn in metric_fns.items():
+                sums[k] = sums.get(k, 0.0) + float(
+                    np.mean(np.asarray(fn(y_trn, out_trn))))
+        mt = {k: v / steps_trn for k, v in sums.items()}
         out_val = np.asarray(eval_fwd(params, state, jnp.asarray(x_val)))
-        mt = {k: float(np.mean(np.asarray(fn(y_trn, out_trn))))
-              for k, fn in metric_fns.items()}
         mv = {k: float(np.mean(np.asarray(fn(y_val, out_val))))
               for k, fn in metric_fns.items()}
         return mt, mv, best_path

@@ -122,6 +122,11 @@ class UNet2DSummary:
             from deepcalcium_tpu.train.checkpoints import latest_checkpoint
 
             model_path = latest_checkpoint(self.cpdir)
+            if model_path is None:
+                raise FileNotFoundError(
+                    f"model_path='latest' but no checkpoint exists in "
+                    f"{self.cpdir} — a misconfigured resume must not "
+                    f"silently train from scratch")
             logger.info("resuming from latest checkpoint: %s", model_path)
 
         # Summaries (reference :402-404).
@@ -173,7 +178,10 @@ class UNet2DSummary:
                 # would force a host sync every step (one tunnel round trip
                 # per metric) and serialize the pipeline.
                 step_metrics: list[dict] = []
-                with trace(profile_dir if epoch == 1 else None):
+                # Profile the first post-compile epoch (epoch 1), or epoch 0
+                # when it is the only one.
+                profile_epoch = 1 if nb_epochs > 1 else 0
+                with trace(profile_dir if epoch == profile_epoch else None):
                     for _ in range(nb_steps_trn):
                         sb, mb = next(prefetch)
                         rng, sub = jax.random.split(rng)
@@ -261,6 +269,10 @@ class UNet2DSummary:
                 fs, fm, fv = f(s), f(m), f(vm)
                 yy, xx = np.where(fv == 1)
                 views.append(fs)
+                # NOTE: max() used as an EXCLUSIVE slice bound drops the last
+                # row/column of the band — kept deliberately: it reproduces
+                # the reference's crop exactly (unet_2d_summary.py:53,84-91),
+                # and the val_nf_* numbers must be comparable to it.
                 view_meta.append((fm, name, (yy.min(), yy.max(), xx.min(), xx.max())))
 
         probs = predict_batched(eval_fwd, params, state, views,

@@ -134,7 +134,7 @@ def movie_summary_pallas(movie, chunk: int | None = None,
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
     if chunk is None:
-        isize = np.asarray(movie).dtype.itemsize
+        isize = np.dtype(movie.dtype).itemsize
         # per-chunk-frame: 2x input (pipeline double buffer) + f32 temp;
         # fixed: 2 f32 accumulators; budget 12 MB of the 16 MB VMEM.
         per_frame = hp * wp * (2 * isize + 4)
@@ -215,9 +215,10 @@ class StreamingSummary:
       to cross a thin link just to be reduced (e.g. a tunneled remote chip,
       where the transfer costs more than the whole reduction).
 
-    ``backend='auto'`` picks ``device`` only for directly-attached
-    accelerators (platform 'tpu'/'gpu'/'cuda'); tunneled or CPU-only
-    environments use ``host``.
+    ``backend='auto'`` probes the measured host->device bandwidth
+    (:func:`_device_bandwidth_mbps`): >1 GB/s (DMA-attached accelerator, or
+    a CPU backend where 'transfer' is free) selects ``device``; slower links
+    (tunneled remotes, O(100 MB/s)) select ``host``.
     """
 
     def __init__(self, frame_shape, dtype=jnp.int16, backend: str = "auto"):

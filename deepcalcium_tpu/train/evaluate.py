@@ -84,6 +84,10 @@ def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=64,
     """
     img = np.asarray(img, np.float32)
     hw, ww = window
+    if not (0 <= overlap < min(hw, ww)):
+        raise ValueError(
+            f"overlap must be in [0, min(window)) = [0, {min(hw, ww)}); "
+            f"got {overlap}")
     h, w = img.shape
     ph, pw = max(h, hw), max(w, ww)
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="reflect") \

@@ -249,3 +249,24 @@ def test_predict_tiled_large_image(tiny_model):
     # predict_batched window must be multiple of 16 for the net: 112x160 ok.
     diff = np.abs(out - whole)
     assert np.median(diff) < 0.25
+
+
+def test_resume_latest_empty_dir_raises(fixture_paths, tmp_path, tiny_model):
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "empty"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    with pytest.raises(FileNotFoundError):
+        model.fit(fixture_paths, model_path="latest", proceed=True,
+                  shape_trn=(48, 48), shape_val=(96, 96), nb_epochs=1)
+
+
+def test_predict_tiled_rejects_bad_overlap(tiny_model):
+    from deepcalcium_tpu.train.evaluate import predict_tiled
+    from deepcalcium_tpu.train import trainer as T
+
+    init_fn, apply_fn = tiny_model
+    params, state = init_fn(jax.random.PRNGKey(0))
+    fwd = T.make_eval_forward(apply_fn)
+    big = np.zeros((112, 112), np.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        predict_tiled(fwd, params, state, big, window=(64, 64), overlap=64)
