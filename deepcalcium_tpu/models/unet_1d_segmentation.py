@@ -33,7 +33,7 @@ from deepcalcium_tpu.utils.config import checkpoints_dir
 from deepcalcium_tpu.utils.runtime import funcname
 
 __all__ = ["UNet1DSegmentation", "get_dataset_attrs", "get_dataset_traces",
-           "get_dataset_spikes", "maxpool_labels"]
+           "get_dataset_spikes", "maxpool_labels", "margin_metrics"]
 
 
 # --- Dataset accessors (reference :151-174) ---------------------------------
@@ -75,6 +75,22 @@ def maxpool_labels(spikes: np.ndarray, margin: int) -> np.ndarray:
     if margin <= 0:
         return np.asarray(spikes, np.float32)
     return np.asarray(_maxpool_labels_jit(jnp.asarray(spikes), int(margin)))
+
+
+def margin_metrics(spikes_true, spikes_pred, margin: int = 4) -> dict:
+    """Margin-aware spike scoring.
+
+    The reference's predict docstring (``:426-431``) instructs users to apply
+    the error margin to the ground truth before comparing; this helper does
+    exactly that: max-pool the true spikes with window margin+1, then compute
+    the spike metric set.
+    """
+    from deepcalcium_tpu.ops import losses as L
+
+    yt = maxpool_labels(np.asarray(spikes_true, np.float32), int(margin))
+    yp = np.asarray(spikes_pred, np.float32)
+    return {k: float(np.mean(np.asarray(fn(yt, yp))))
+            for k, fn in L.SPIKE_METRICS.items()}
 
 
 def _pad_to_multiple(x: np.ndarray, mult: int):

@@ -56,6 +56,10 @@ def summarize_mask(dspath: str) -> np.ndarray:
     """Flattened, conflict-eroded mask summary (reference
     ``_summarize_mask``; exact sequential semantics — see ops.mask_summary)."""
     with h5py.File(dspath, "r") as fp:
+        if "masks" not in fp:
+            raise KeyError(
+                f"{dspath} has no ground-truth masks (a .test set?) — "
+                f"scoring/outlines against ground truth need masks/raw")
         msks = fp["masks/raw"][...]
     return mask_summary_exact(msks)
 

@@ -106,3 +106,16 @@ def test_glm_baseline_learns(tmp_path):
     preds, names = model.predict(paths, ckpt)
     assert names == ["g.0", "g.1"]
     assert preds[0].shape == (16, 512) and preds[0].dtype == np.uint8
+
+
+def test_margin_metrics_helper():
+    from deepcalcium_tpu.models.unet_1d_segmentation import margin_metrics
+
+    yt = np.zeros((1, 30), np.float32)
+    yt[0, 10] = 1
+    yp = np.zeros((1, 30), np.float32)
+    yp[0, 12] = 1  # off by 2 — inside margin 4
+    m = margin_metrics(yt, yp, margin=4)
+    assert m["prec"] == pytest.approx(1.0, abs=1e-5)
+    m0 = margin_metrics(yt, yp, margin=0)
+    assert m0["prec"] == pytest.approx(0.0, abs=1e-5)
