@@ -24,17 +24,27 @@ logging.basicConfig(level=logging.INFO)
 
 
 def load_matlab_centers(mat_path):
-    """Extract (centers, radius) from the St. Jude Matlab export.
+    """Extract (centers, radius) from a Matlab annotation export.
 
-    Structure per the reference (``unet2ds_sj.py:92-99``):
-    appStateData.mainAppVars -> point coords (pcx, pcy) and bbox radius.
+    Two schemas are accepted:
+    1. Flat (recommended for new data): top-level ``centers`` (2, N) array of
+       (x, y) coordinates and scalar ``radius``.
+    2. Legacy St. Jude export (the reference's structure, inferred there
+       "via painful trial and error" — ``unet2ds_sj.py:92-99``):
+       appStateData.mainAppVars -> point coords (pcx, pcy) and bbox radius.
     """
+    import numpy as np
     from scipy.io import loadmat
 
     mat = loadmat(mat_path)
+    if "centers" in mat and "radius" in mat:
+        xy = np.asarray(mat["centers"], dtype=float)
+        centers = [(int(round(x)), int(round(y))) for x, y in zip(xy[0], xy[1])]
+        return centers, int(np.ravel(mat["radius"])[0])
+
     main_vars = mat["appStateData"]["mainAppVars"]
-    pcx = main_vars[0][0][0][0][0][0]
-    pcy = main_vars[0][0][0][0][0][1]
+    pcx = np.ravel(main_vars[0][0][0][0][0][0])
+    pcy = np.ravel(main_vars[0][0][0][0][0][1])
     centers = [(int(round(x)), int(round(y))) for x, y in zip(pcx, pcy)]
     radius = int(main_vars[0][0][0][0][2][0][0])
     return centers, radius

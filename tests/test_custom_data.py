@@ -105,3 +105,16 @@ def test_realistic_fixture_contract(tmp_path):
     # Neurons are soft disks with positive area; erosion keeps most pixels.
     summ = mask_summary_exact(masks)
     assert summ.sum() > 0.5 * masks.max(axis=0).sum()
+
+
+def test_sj_matlab_loader_flat_schema(tmp_path):
+    from scipy.io import savemat
+
+    import sys
+    sys.path.insert(0, ".")
+    from examples.neurons.unet2ds_sj import load_matlab_centers
+
+    p = str(tmp_path / "ann.mat")
+    savemat(p, {"centers": np.array([[10.2, 30.7], [12.9, 8.1]]), "radius": 3})
+    centers, radius = load_matlab_centers(p)
+    assert centers == [(10, 13), (31, 8)] and radius == 3
