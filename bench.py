@@ -36,7 +36,7 @@ BASELINE_FPS = 8057.0 / 60.0  # reference: 8,057 frames/min end-to-end
 def main():
     from deepcalcium_tpu.models import unet2d
     from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
-    from deepcalcium_tpu.ops.summary import movie_summary
+    from deepcalcium_tpu.ops.summary import movie_summary_fast
 
     t, h, w = 3000, 512, 512
     # Generate the movie ON DEVICE: host-side RNG of 786M values takes >1 min
@@ -56,7 +56,8 @@ def main():
 
     @jax.jit
     def evaluate(movie_dev):
-        mean, _ = movie_summary(movie_dev, chunk=250)
+        # Pallas single-pass reduction on TPU (705 GB/s vs 348 for the scan).
+        mean, _ = movie_summary_fast(movie_dev)
         z = (mean - jnp.mean(mean)) / jnp.std(mean)
         views = tta_expand(z[None])                      # (8, 1, 512, 512)
         flat = views.reshape(8, h, w)

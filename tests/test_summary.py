@@ -8,6 +8,7 @@ from jax.sharding import Mesh
 from deepcalcium_tpu.ops.summary import (
     StreamingSummary,
     movie_summary,
+    movie_summary_fast,
     movie_summary_pallas,
     movie_summary_sharded,
 )
@@ -75,9 +76,35 @@ def test_pallas_float_movie_nondivisible_t(rng):
 
 
 def test_pallas_all_negative_int_movie(rng):
-    """Max must survive zero spatial padding + duplicate time padding even
-    when every value is negative."""
+    """Max must survive spatial over-reads + ragged-tail masking even when
+    every value is negative."""
     movie = rng.integers(-5000, -10, (7, 8, 130)).astype(np.int16)
     mean, mx = movie_summary_pallas(movie, chunk=4, interpret=True)
     np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(mx), movie.max(0))
+
+
+def test_pallas_prime_t_ragged_spatial(rng):
+    """Prime T (no usable chunk divisor -> masked tail) with H and W both
+    off-tile: every ragged edge at once, auto chunk/block selection."""
+    movie = rng.integers(-100, 3000, (31, 19, 137)).astype(np.int16)
+    mean, mx = movie_summary_pallas(movie, interpret=True)
+    np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mx), movie.max(0))
+
+
+def test_pallas_multirow_blocks(rng):
+    """H spanning several row-blocks exercises the parallel grid dimension."""
+    movie = rng.integers(0, 2000, (12, 40, 128)).astype(np.int16)
+    mean, mx = movie_summary_pallas(movie, chunk=6, block_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mx), movie.max(0))
+
+
+def test_movie_summary_fast_cpu_dispatch(movie):
+    """On the CPU test backend the dispatcher must take the XLA-scan path
+    and match the oracle (Pallas interpret would be pathologically slow)."""
+    assert jax.default_backend() == "cpu"
+    mean, mx = movie_summary_fast(movie)
+    np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mx), movie.max(0))
