@@ -77,7 +77,7 @@ class UNet2DSummary:
                  series_summary_func=summarize_series,
                  mask_summary_func=summarize_mask,
                  net_init_func=unet2d.init, net_apply_func=unet2d.apply,
-                 compute_dtype=None):
+                 compute_dtype=None, remat=False):
         self.cpdir = cpdir or os.path.join(checkpoints_dir(), "neurons_unet2ds")
         os.makedirs(self.cpdir, exist_ok=True)
         self.dataset_name_func = dataset_name_func
@@ -86,6 +86,11 @@ class UNet2DSummary:
         self.net_init_func = net_init_func
         self.net_apply_func = net_apply_func
         self.compute_dtype = compute_dtype
+        # remat: rematerialize conv blocks on the backward pass — the knob
+        # for training at large windows (e.g. shape_trn=512²) where
+        # activations would otherwise exceed HBM. Training-only; predict
+        # has no backward pass.
+        self.remat = remat
 
     # ------------------------------------------------------------------ fit
 
@@ -94,7 +99,8 @@ class UNet2DSummary:
             nb_steps_trn=200, nb_epochs=20, prop_trn=0.75, prop_val=0.25,
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=False, nb_max_augment=15,
-            epoch_callbacks=(), profile_dir=None, ema_decay=None):
+            epoch_callbacks=(), profile_dir=None, ema_decay=None,
+            lr_schedule="plateau"):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -114,6 +120,11 @@ class UNet2DSummary:
         ``ema_decay`` (e.g. 0.999): beyond-reference option — validate and
         checkpoint a Polyak average of the weights instead of the raw
         iterates (stabilizes the full-image thresholded metric).
+
+        ``lr_schedule``: ``"plateau"`` (parity default: ReduceLROnPlateau on
+        train F1, reference :425-426), ``"cosine"`` (beyond-reference:
+        anneal ``learning_rate`` -> 1e-4 over ``nb_epochs``), or a callable
+        ``f(next_epoch) -> lr`` for custom schedules.
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
@@ -153,8 +164,10 @@ class UNet2DSummary:
             if proceed and opt_loaded is not None:
                 opt_state = opt_loaded
 
-        apply_fn = functools.partial(
-            self.net_apply_func, compute_dtype=self.compute_dtype)
+        apply_kw = {"compute_dtype": self.compute_dtype}
+        if self.remat:
+            apply_kw["remat"] = True
+        apply_fn = functools.partial(self.net_apply_func, **apply_kw)
         step = T.make_train_step(apply_fn, loss_fn, optimizer, mesh=mesh)
         eval_fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
@@ -166,7 +179,16 @@ class UNet2DSummary:
         # Observability.
         tic = int(time.time())
         csvlog = CSVMetricsLogger(os.path.join(self.cpdir, f"{tic}_metrics.csv"))
-        plateau = T.ReduceLROnPlateau(factor=0.5, patience=5, min_lr=1e-4)
+        if lr_schedule == "plateau":
+            plateau = T.ReduceLROnPlateau(factor=0.5, patience=5, min_lr=1e-4)
+            next_lr = lambda epoch, agg, lr: plateau.update(agg.get("F1", 0.0), lr)
+        elif lr_schedule == "cosine":
+            cosine = T.CosineDecay(learning_rate, nb_epochs, min_lr=1e-4)
+            next_lr = lambda epoch, agg, lr: cosine.lr_at(epoch + 1)
+        elif callable(lr_schedule):
+            next_lr = lambda epoch, agg, lr: float(lr_schedule(epoch + 1))
+        else:
+            raise ValueError(f"unknown lr_schedule: {lr_schedule!r}")
         rng = jax.random.PRNGKey(seed + 1)
 
         best_f1, best_path = -1.0, None
@@ -238,9 +260,10 @@ class UNet2DSummary:
                 if agg["val_nf_f1_mean"] > best_f1:
                     best_f1, best_path = agg["val_nf_f1_mean"], cp
 
-                # ReduceLROnPlateau on train F1 (:425-426).
-                new_lr = plateau.update(agg.get("F1", 0.0), T.current_lr(opt_state))
-                opt_state = T.set_lr(opt_state, new_lr)
+                # LR schedule step: plateau on train F1 (:425-426) by
+                # default, or the configured alternative.
+                opt_state = T.set_lr(
+                    opt_state, next_lr(epoch, agg, T.current_lr(opt_state)))
 
                 # Adaptive dataset re-weighting from val F1 (:482-489).
                 if adaptive_sampling:

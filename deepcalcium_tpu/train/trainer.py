@@ -27,7 +27,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from deepcalcium_tpu.ops import losses as L
 from deepcalcium_tpu.parallel.mesh import replicated
 
-__all__ = ["make_optimizer", "make_train_step", "ReduceLROnPlateau", "current_lr", "set_lr"]
+__all__ = ["make_optimizer", "make_train_step", "ReduceLROnPlateau",
+           "CosineDecay", "current_lr", "set_lr"]
 
 
 def make_optimizer(learning_rate: float = 2e-3):
@@ -71,6 +72,29 @@ class ReduceLROnPlateau:
             self.wait = 0
             return max(self.min_lr, lr * self.factor)
         return lr
+
+
+class CosineDecay:
+    """Host-side cosine learning-rate decay over a fixed epoch horizon.
+
+    Opt-in alternative to :class:`ReduceLROnPlateau` (which is the parity
+    default, reference ``unet_2d_summary.py:425-426``): anneals from
+    ``base_lr`` to ``min_lr`` along half a cosine over ``total_epochs``.
+    Like the plateau policy it runs between epochs through ``set_lr`` (optax
+    hyperparam injection), so switching schedules never recompiles the step.
+    """
+
+    def __init__(self, base_lr: float, total_epochs: int, min_lr: float = 1e-4):
+        assert total_epochs >= 1
+        self.base_lr = base_lr
+        self.total_epochs = total_epochs
+        self.min_lr = min_lr
+
+    def lr_at(self, epoch: int) -> float:
+        """LR to use *for* ``epoch`` (epoch 0 -> base_lr)."""
+        frac = min(max(epoch, 0), self.total_epochs) / self.total_epochs
+        return self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
+            1.0 + float(np.cos(np.pi * frac)))
 
 
 def make_train_step(apply_fn, loss_fn, optimizer, metric_fns=None, mesh=None):

@@ -260,6 +260,45 @@ def test_resume_latest_empty_dir_raises(fixture_paths, tmp_path, tiny_model):
                   shape_trn=(48, 48), shape_val=(96, 96), nb_epochs=1)
 
 
+def test_cosine_decay_endpoints():
+    """Cosine schedule: starts at base_lr, ends at min_lr, monotone."""
+    cos = T.CosineDecay(2e-3, total_epochs=10, min_lr=1e-4)
+    lrs = [cos.lr_at(e) for e in range(11)]
+    assert lrs[0] == pytest.approx(2e-3)
+    assert lrs[-1] == pytest.approx(1e-4)
+    assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+    # Past the horizon it clamps at the floor.
+    assert cos.lr_at(99) == pytest.approx(1e-4)
+
+
+def test_fit_cosine_schedule_and_remat(fixture_paths, tmp_path, tiny_model):
+    """lr_schedule='cosine' anneals the recorded lr; remat=True trains the
+    same recipe (big-window knob) without changing mechanics."""
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
+                          net_apply_func=apply_fn, remat=True)
+    hist, best = model.fit(fixture_paths, shape_trn=(48, 48),
+                           shape_val=(96, 96), batch_size_trn=4,
+                           nb_steps_trn=2, nb_epochs=3, seed=5,
+                           lr_schedule="cosine")
+    assert best is not None and np.isfinite(hist["loss"]).all()
+    # lr is logged per-epoch BEFORE the end-of-epoch schedule step: epoch 0
+    # runs at base lr, later epochs at the annealed values.
+    cos = T.CosineDecay(2e-3, 3, min_lr=1e-4)
+    assert hist["lr"][0] == pytest.approx(2e-3)
+    assert hist["lr"][1] == pytest.approx(cos.lr_at(1), rel=1e-5)
+    assert hist["lr"][2] == pytest.approx(cos.lr_at(2), rel=1e-5)
+
+
+def test_fit_rejects_unknown_lr_schedule(fixture_paths, tmp_path, tiny_model):
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    with pytest.raises(ValueError, match="lr_schedule"):
+        model.fit(fixture_paths, shape_trn=(48, 48), shape_val=(96, 96),
+                  nb_epochs=1, lr_schedule="warmup???")
+
+
 def test_predict_tiled_rejects_bad_overlap(tiny_model):
     from deepcalcium_tpu.train.evaluate import predict_tiled
     from deepcalcium_tpu.train import trainer as T
