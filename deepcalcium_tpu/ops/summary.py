@@ -314,18 +314,24 @@ class StreamingSummary:
 # Time-axis sharding over a device mesh
 # ---------------------------------------------------------------------------
 
-def movie_summary_sharded(movie, mesh, axis: str = "data", chunk: int = 64):
+def movie_summary_sharded(movie, mesh, axis: str = "data", chunk: int = 64,
+                          use_pallas: bool | None = None):
     """Mean/max projection with the time axis sharded over ``mesh[axis]``.
 
-    Each device scans its local T-shard (same kernel as
-    :func:`movie_summary`), then combines partial sums with ``psum`` and
-    partial maxes with ``pmax`` over ICI. T must divide evenly by the mesh
-    axis size (pad upstream if needed).
+    Each device reduces its local T-shard (the Pallas kernel on TPU meshes,
+    the scan elsewhere — override with ``use_pallas``), then combines
+    partial sums with ``psum`` and partial maxes with ``pmax`` over ICI.
+    T must divide evenly by the mesh axis size (pad upstream if needed).
     """
     t = movie.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def local(mv):
-        mean_local, max_local = movie_summary(mv, chunk=chunk)
+        if use_pallas:
+            mean_local, max_local = movie_summary_pallas(mv, chunk=None)
+        else:
+            mean_local, max_local = movie_summary(mv, chunk=chunk)
         sum_local = mean_local * mv.shape[0]
         s = jax.lax.psum(sum_local, axis)
         m = jax.lax.pmax(max_local.astype(jnp.float32), axis)
