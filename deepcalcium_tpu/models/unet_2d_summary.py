@@ -195,6 +195,18 @@ class UNet2DSummary:
         history: dict[str, list] = {}
         # Real copies: the step donates the params buffers each iteration.
         ema_params = jax.tree.map(jnp.copy, params) if ema_decay else None
+        if ema_decay:
+            # Measured pitfall (docs/VALIDATION.md): decay 0.999 over an
+            # 800-step run leaves the average ~45% initialization — val
+            # metrics stay near zero and the best checkpoint is garbage.
+            w0 = float(ema_decay) ** (nb_steps_trn * nb_epochs)
+            if w0 > 0.05:
+                logger.warning(
+                    "ema_decay=%s over %d total steps keeps %.0f%% of the "
+                    "INIT weights in the average; use decay <= %.4f or more "
+                    "steps, or expect near-zero validation metrics.",
+                    ema_decay, nb_steps_trn * nb_epochs, 100 * w0,
+                    0.05 ** (1.0 / max(1, nb_steps_trn * nb_epochs)))
         from deepcalcium_tpu.utils.profiling import trace
 
         try:

@@ -214,6 +214,21 @@ def test_epoch_callbacks_invoked(fixture_paths, tmp_path, tiny_model):
     assert all(np.isfinite(l) for _, l in seen)
 
 
+def test_fit_ema_lag_warning(fixture_paths, tmp_path, tiny_model, caplog):
+    """An EMA decay too slow for the step budget must warn loudly (measured
+    pitfall: decay .999 over 800 steps keeps ~45% init weights)."""
+    import logging as _logging
+
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    with caplog.at_level(_logging.WARNING):
+        model.fit(fixture_paths, shape_trn=(48, 48), shape_val=(96, 96),
+                  batch_size_trn=4, nb_steps_trn=2, nb_epochs=1, seed=5,
+                  ema_decay=0.999)
+    assert any("INIT weights" in r.message for r in caplog.records)
+
+
 def test_fit_with_ema(fixture_paths, tmp_path, tiny_model):
     init_fn, apply_fn = tiny_model
     model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
