@@ -31,13 +31,19 @@ def cmd_train(args):
     from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
 
     dspaths = nf_load_hdf5(args.dataset_name)
-    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    shape_trn = (args.window, args.window)
+    # 512²-window training recommends remat (2x faster + fits HBM; see
+    # docs/VALIDATION.md); honor an explicit flag either way.
+    remat = args.remat if args.remat is not None else args.window >= 256
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir),
+                          remat=remat)
     history, best = model.fit(
         dspaths,
         model_path=args.model_path,
-        shape_trn=(128, 128), shape_val=(512, 512),
-        batch_size_trn=20, nb_steps_trn=100, nb_epochs=args.epochs,
+        shape_trn=shape_trn, shape_val=(512, 512),
+        batch_size_trn=args.batch, nb_steps_trn=100, nb_epochs=args.epochs,
         prop_trn=0.75, prop_val=0.25,
+        lr_schedule=args.lr_schedule,
     )
     print(f"best checkpoint: {best}")
     return history, best
@@ -123,6 +129,16 @@ def build_parser():
     p.add_argument("-m", "--model_path")
     p.add_argument("-c", "--checkpoints_dir")
     p.add_argument("-e", "--epochs", type=int, default=10)
+    p.add_argument("-w", "--window", type=int, default=128,
+                   help="training window side (128 = reference recipe; "
+                        "512 trains at full images, auto-enables remat)")
+    p.add_argument("-b", "--batch", type=int, default=20)
+    p.add_argument("--lr-schedule", default="plateau",
+                   choices=["plateau", "cosine"])
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="rematerialize conv blocks in the backward pass "
+                        "(default: on for window >= 256)")
     p.set_defaults(func=cmd_train)
 
     p = sp.add_parser("evaluate", help="Evaluate with and without TTA.")

@@ -64,3 +64,17 @@ def test_distributed_single_host_noop():
     initialize()  # single host: must not raise
     mesh = pod_mesh()
     assert mesh.devices.size >= 1
+
+
+def test_cli_train_flags_parse():
+    """New train flags: window/batch/lr-schedule/remat tri-state."""
+    from deepcalcium_tpu.cli import build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(["train", "all_train"])
+    assert (a.window, a.batch, a.lr_schedule, a.remat) == (128, 20, "plateau", None)
+    a = ap.parse_args(["train", "x", "-w", "512", "-b", "8",
+                       "--lr-schedule", "cosine", "--no-remat"])
+    assert (a.window, a.batch, a.lr_schedule, a.remat) == (512, 8, "cosine", False)
+    a = ap.parse_args(["train", "x", "--remat"])
+    assert a.remat is True
