@@ -1,25 +1,35 @@
-"""Benchmark: end-to-end evaluate throughput on one TPU chip.
+"""Benchmark: end-to-end evaluate throughput + MFU on one TPU chip.
 
 Measures the reference's headline pipeline (BASELINE.md: ingest TIFFs +
 summarize + predict at 8,057 frames/min ≈ 134.3 fps on the author's
-workstation): here, a synthetic 3000-frame 512x512 movie is (a) reduced to
-mean/max summary images on device, (b) z-normalized, and (c) segmented by
-UNet2DS with full 8x TTA in bfloat16 — the complete evaluate path after TIFF
-decode. Steady-state wall-clock (one warm-up iteration excluded, jit cache
-warm), mirroring how the reference number excludes its model build.
+workstation): a synthetic 3000-frame 512x512 movie is (a) reduced to
+mean/max summary images on device (Pallas kernel), (b) z-normalized, and
+(c) segmented by UNet2DS with full 8x TTA in bfloat16 — the complete
+evaluate path after TIFF decode, as ONE fused device graph.
+
+The graph under test is the PUBLIC LIBRARY PATH:
+``deepcalcium_tpu.train.evaluate.make_movie_evaluator`` — the same function
+``UNet2DSummary.evaluate_movie`` dispatches for users. Steady-state
+wall-clock (one warm-up iteration excluded, jit cache warm), mirroring how
+the reference number excludes its model build.
+
+MFU accounting: analytic conv FLOPs (``unet2d.forward_flops``) x 8 TTA
+views, divided by measured step time, against the chip's bf16 peak
+(v5e: 197 TFLOP/s; override with DC_TPU_PEAK_TFLOPS for other chips).
 
 Prints ONE JSON line:
     {"metric": "e2e_eval_frames_per_sec", "value": N, "unit": "frames/s",
-     "vs_baseline": N / 134.28}
+     "vs_baseline": N / 134.28, "model_tflops_per_sec": N, "mfu": N,
+     "flops_per_eval": N, "eval_ms": N}
 """
 
+import functools
 import json
 import os
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Persist compiled executables across processes: the one-off XLA compile of
 # the TTA forward costs minutes through the remote-compile service; cached
@@ -31,12 +41,12 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FPS = 8057.0 / 60.0  # reference: 8,057 frames/min end-to-end
+PEAK_TFLOPS = float(os.environ.get("DC_TPU_PEAK_TFLOPS", "197"))  # v5e bf16
 
 
 def main():
     from deepcalcium_tpu.models import unet2d
-    from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
-    from deepcalcium_tpu.ops.summary import movie_summary_fast
+    from deepcalcium_tpu.train.evaluate import make_movie_evaluator
 
     t, h, w = 3000, 512, 512
     # Generate the movie ON DEVICE: host-side RNG of 786M values takes >1 min
@@ -54,34 +64,44 @@ def main():
     params = jax.device_put(params, jax.devices()[0])
     state = jax.device_put(state, jax.devices()[0])
 
-    @jax.jit
-    def evaluate(movie_dev):
-        # Pallas single-pass reduction on TPU (705 GB/s vs 348 for the scan).
-        mean, _ = movie_summary_fast(movie_dev)
-        z = (mean - jnp.mean(mean)) / jnp.std(mean)
-        views = tta_expand(z[None])                      # (8, 1, 512, 512)
-        flat = views.reshape(8, h, w)
-        probs, _ = unet2d.apply(params, state, flat, train=False,
-                                compute_dtype=jnp.bfloat16)
-        merged = tta_collapse(probs.reshape(8, 1, h, w))
-        return (merged[0] > 0.5).astype(jnp.uint8)
+    # The public library evaluator: summary -> z-norm -> pad -> 8x TTA
+    # forward -> inverse/average -> threshold, one jitted graph.
+    evaluate = make_movie_evaluator(
+        functools.partial(unet2d.apply, compute_dtype=jnp.bfloat16),
+        (t, h, w), window=(512, 512), tta=True)
+
+    # Tiny on-device checksum whose HOST FETCH forces the device queue to
+    # drain — block_until_ready alone can return early through the tunnel
+    # (measured: it reported 0.17 ms for a 770-GFLOP graph).
+    checksum = jax.jit(lambda m: jnp.sum(m, dtype=jnp.int32))
+
+    def timed(iters: int) -> float:
+        tic = time.perf_counter()
+        cks = None
+        for _ in range(iters):
+            mask, _, _ = evaluate(params, state, movie_dev)
+            cks = checksum(mask)
+        int(cks)  # scalar host fetch = full drain
+        return time.perf_counter() - tic
 
     # Warm-up (compile) excluded from timing.
-    jax.block_until_ready(evaluate(movie_dev))
-
-    iters = 5
-    tic = time.perf_counter()
-    for _ in range(iters):
-        out = evaluate(movie_dev)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - tic) / iters
+    timed(1)
+    # Slope method: per-iteration time from the 22-vs-2 difference, which
+    # cancels the constant dispatch/fetch latency of the tunnel.
+    dt = (timed(22) - timed(2)) / 20.0
 
     fps = t / dt
+    flops = 8 * unet2d.forward_flops(512, 512, nfb=32)  # 8 TTA views
+    tflops = flops / dt / 1e12
     print(json.dumps({
         "metric": "e2e_eval_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu": round(tflops / PEAK_TFLOPS, 4),
+        "flops_per_eval": flops,
+        "eval_ms": round(dt * 1e3, 2),
     }))
 
 

@@ -26,6 +26,30 @@ def _neurons_cpdir(override=None):
     return override or os.path.join(checkpoints_dir(), "neurons_unet2ds_nf")
 
 
+def _tta_passes(tta: str):
+    """'both' mirrors the reference CLI (TTA pass then plain pass,
+    unet2ds_nf.py:54-64); 'on'/'off' run just one."""
+    return {"both": (True, False), "on": (True,), "off": (False,)}[tta]
+
+
+def cmd_convert(args):
+    """Convert a Keras HDF5 checkpoint (e.g. the released
+    unet2ds_model.hdf5) into a native .ckpt pytree snapshot."""
+    from deepcalcium_tpu.train.checkpoints import save_checkpoint
+
+    if args.arch == "unet2ds":
+        from deepcalcium_tpu.interop.keras_import import (
+            load_unet2ds_keras as load_keras)
+    else:
+        from deepcalcium_tpu.interop.keras_import import (
+            load_unet1d_keras as load_keras)
+    params, state = load_keras(args.src)
+    save_checkpoint(args.dst, params, state,
+                    meta={"source": os.path.abspath(args.src),
+                          "arch": args.arch})
+    print(args.dst)
+
+
 def cmd_train(args):
     from deepcalcium_tpu.data.nf import nf_load_hdf5
     from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
@@ -41,8 +65,10 @@ def cmd_train(args):
         dspaths,
         model_path=args.model_path,
         shape_trn=shape_trn, shape_val=(512, 512),
-        batch_size_trn=args.batch, nb_steps_trn=100, nb_epochs=args.epochs,
+        batch_size_trn=args.batch, nb_steps_trn=args.steps,
+        nb_epochs=args.epochs,
         prop_trn=0.75, prop_val=0.25,
+        loss=args.loss, seed=args.seed,
         lr_schedule=args.lr_schedule,
     )
     print(f"best checkpoint: {best}")
@@ -55,7 +81,7 @@ def cmd_evaluate(args):
 
     dspaths = nf_load_hdf5(args.dataset_name)
     model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
-    for aug in (True, False):
+    for aug in _tta_passes(args.tta):
         logging.getLogger("evaluate").info(
             "Evaluation with%s.", " TTA" if aug else "out TTA")
         model.predict(dspaths, model_path=args.model_path,
@@ -70,7 +96,7 @@ def cmd_predict(args):
     dspaths = nf_load_hdf5(args.dataset_name)
     model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
     tic = int(time.time())
-    for aug in (True, False):
+    for aug in _tta_passes(args.tta):
         Mp, names = model.predict(dspaths, model_path=args.model_path,
                                   window_shape=(512, 512), augmentation=aug)
         suffix = "_TTA" if aug else ""
@@ -133,6 +159,14 @@ def build_parser():
                    help="training window side (128 = reference recipe; "
                         "512 trains at full images, auto-enables remat)")
     p.add_argument("-b", "--batch", type=int, default=20)
+    p.add_argument("-s", "--steps", type=int, default=100,
+                   help="train steps per epoch (reference recipe: 100)")
+    p.add_argument("--seed", type=int, default=865,
+                   help="RNG seed (reference CLI seeds 865, unet2ds_nf.py:18)")
+    p.add_argument("--loss", default="binary_crossentropy",
+                   choices=["binary_crossentropy",
+                            "weighted_binary_crossentropy", "dice_loss",
+                            "dicesq_loss"])
     p.add_argument("--lr-schedule", default="plateau",
                    choices=["plateau", "cosine"])
     p.add_argument("--remat", action=argparse.BooleanOptionalAction,
@@ -145,13 +179,24 @@ def build_parser():
     p.add_argument("dataset_name", default="all_train", type=str)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("--tta", default="both", choices=["both", "on", "off"],
+                   help="'both' runs a TTA pass then a plain pass "
+                        "(reference behavior)")
     p.set_defaults(func=cmd_evaluate)
 
     p = sp.add_parser("predict", help="Predict + write submission JSONs.")
     p.add_argument("dataset_name", default="all", type=str)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("--tta", default="both", choices=["both", "on", "off"])
     p.set_defaults(func=cmd_predict)
+
+    p = sp.add_parser("convert",
+                      help="Convert a Keras .hdf5 into a native .ckpt.")
+    p.add_argument("src", help="Keras HDF5 checkpoint")
+    p.add_argument("dst", help="output .ckpt path")
+    p.add_argument("--arch", default="unet2ds", choices=["unet2ds", "unet1d"])
+    p.set_defaults(func=cmd_convert)
 
     p = sp.add_parser("spikes-train", help="Train UNet1D/GLM on spike datasets.")
     p.add_argument("dataset_paths", nargs="+")

@@ -222,3 +222,47 @@ def infer(params, state, x, compute_dtype=None, precision=None):
 
 def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def forward_flops(h: int, w: int, nfb: int = _F,
+                  up_mode: str = "transpose") -> int:
+    """Analytic FLOPs (2·MACs) of ONE forward pass on one (h, w) image.
+
+    Counts the conv / transpose-conv matmuls only — BN, ReLU, pooling,
+    softmax and concatenation are bandwidth-bound elementwise ops
+    contributing <1% of arithmetic. Mirrors the architecture in
+    :func:`apply`; used by bench.py for TFLOP/s + MFU accounting.
+    """
+    assert h % 16 == 0 and w % 16 == 0, (h, w)
+    f = nfb
+    fl = 0
+
+    def conv(hh, ww, k, cin, cout):
+        nonlocal fl
+        fl += 2 * k * k * cin * cout * hh * ww
+
+    # Encoder + bottleneck: conv pairs at h/2^i with the filter doubling.
+    hh, ww = h, w
+    enc = [(1, f), (f, 2 * f), (2 * f, 4 * f), (4 * f, 8 * f), (8 * f, 16 * f)]
+    for i, (cin, cout) in enumerate(enc):
+        conv(hh, ww, 3, cin, cout)
+        conv(hh, ww, 3, cout, cout)
+        if i < len(enc) - 1:
+            hh, ww = hh // 2, ww // 2
+
+    # Decoder: up (tconv k=s=2: each output pixel = cin-vector x (cin, cout)
+    # slice => 2*4*cin*cout*hh*ww FLOPs at the PRE-upsample resolution),
+    # then the conv pair on the concatenated tensor.
+    cup = 16 * f
+    for cout in (8 * f, 4 * f, 2 * f, f):
+        if up_mode == "transpose":
+            fl += 2 * 4 * cup * cout * hh * ww
+            cat = cout + cout
+        else:
+            cat = cup + cout
+        hh, ww = hh * 2, ww * 2
+        conv(hh, ww, 3, cat, cout)
+        conv(hh, ww, 3, cout, cout)
+        cup = cout
+    conv(hh, ww, 1, f, 2)  # softmax head
+    return fl

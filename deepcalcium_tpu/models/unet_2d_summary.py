@@ -35,7 +35,8 @@ from deepcalcium_tpu.ops.mask_summary import mask_summary_exact
 from deepcalcium_tpu.train import trainer as T
 from deepcalcium_tpu.train.callbacks import CSVMetricsLogger, plot_metrics_grid
 from deepcalcium_tpu.train.checkpoints import load_checkpoint, save_checkpoint
-from deepcalcium_tpu.train.evaluate import predict_batched, predict_tta
+from deepcalcium_tpu.train.evaluate import (make_movie_evaluator,
+                                            predict_batched, predict_tta)
 from deepcalcium_tpu.train.sampler import Prefetcher, WindowSampler
 from deepcalcium_tpu.utils.config import checkpoints_dir
 from deepcalcium_tpu.utils.runtime import funcname
@@ -154,15 +155,31 @@ class UNet2DSummary:
         ycval = [(s.shape[0] - int(s.shape[0] * prop_val), s.shape[0]) for s in S]
 
         # Model + optimizer.
-        params, state = self.net_init_func(jax.random.PRNGKey(seed))
         optimizer = T.make_optimizer(learning_rate)
-        opt_state = optimizer.init(params)
-        if model_path:
-            opt_like = opt_state if proceed else None
-            params, state, opt_loaded, _ = load_checkpoint(
-                model_path, params, state, opt_like)
-            if proceed and opt_loaded is not None:
-                opt_state = opt_loaded
+        if model_path and str(model_path).endswith((".hdf5", ".h5")):
+            # Warm start / fine-tune from a Keras checkpoint — the
+            # reference's fit(model_path=..., proceed=...) continuation
+            # (unet_2d_summary.py:383-394 via keras_helpers.py:24-68).
+            # Keras HDF5 carries Adam slots in a layout we deliberately do
+            # not translate; the optimizer restarts fresh either way.
+            from deepcalcium_tpu.interop.keras_import import load_unet2ds_keras
+
+            params, state = load_unet2ds_keras(model_path)
+            opt_state = optimizer.init(params)
+            if proceed:
+                logger.info(
+                    "proceed=True with a Keras checkpoint: weights resume, "
+                    "optimizer state restarts fresh (Adam slots are not "
+                    "translated)")
+        else:
+            params, state = self.net_init_func(jax.random.PRNGKey(seed))
+            opt_state = optimizer.init(params)
+            if model_path:
+                opt_like = opt_state if proceed else None
+                params, state, opt_loaded, _ = load_checkpoint(
+                    model_path, params, state, opt_like)
+                if proceed and opt_loaded is not None:
+                    opt_state = opt_loaded
 
         apply_kw = {"compute_dtype": self.compute_dtype}
         if self.remat:
@@ -338,6 +355,53 @@ class UNet2DSummary:
 
     # -------------------------------------------------------------- predict
 
+    def _load_params(self, model_path):
+        """Load (params, state) from a native .ckpt or a Keras .hdf5."""
+        if str(model_path).endswith((".hdf5", ".h5")):
+            from deepcalcium_tpu.interop.keras_import import load_unet2ds_keras
+
+            return load_unet2ds_keras(model_path)
+        params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
+        params, state, _, _ = load_checkpoint(model_path, params0, state0)
+        return params, state
+
+    def evaluate_movie(self, movie, model_path=None, params=None, state=None,
+                       window_shape=(512, 512), tta=True, threshold=0.5,
+                       mesh=None):
+        """Segment a raw movie end-to-end in ONE device dispatch: streaming
+        mean summary -> z-norm -> reflect-pad -> (8x TTA) forward ->
+        threshold. This is the fused pipeline the benchmark measures —
+        library users get the same graph (reference counterpart: the full
+        ingest+summarize+predict path, ``unet_2d_summary.py:532-625`` fed by
+        ``nf.py:126-130``).
+
+        # Arguments
+            movie: (T, H, W) array (host or device), or a contract-HDF5 path
+                (reads ``series/raw``).
+            model_path: .ckpt or Keras .hdf5 — or pass ``params``+``state``
+                directly (skips the load; e.g. reuse across movies).
+            window_shape: inference window; frames reflect-pad up to it.
+            tta: run the fused 8-view test-time-augmentation batch.
+            mesh: optional Mesh — time axis of the summary shards over it.
+
+        # Returns
+            (mask uint8 (H, W), prob float32 (H, W)) as host arrays.
+        """
+        if params is None:
+            if model_path is None:
+                raise ValueError("need model_path or params+state")
+            params, state = self._load_params(model_path)
+        if isinstance(movie, (str, os.PathLike)):
+            with h5py.File(movie, "r") as fp:
+                movie = fp["series/raw"][...]
+        apply_fn = functools.partial(
+            self.net_apply_func, compute_dtype=self.compute_dtype)
+        evaluator = make_movie_evaluator(
+            apply_fn, movie.shape, window=window_shape, tta=tta,
+            threshold=threshold, mesh=mesh)
+        mask, prob, _ = evaluator(params, state, jnp.asarray(movie))
+        return np.asarray(mask), np.asarray(prob)
+
     def predict(self, dataset_paths, model_path, window_shape=(512, 512),
                 print_scores=False, save=False, augmentation=False,
                 threshold=0.5, mesh=None, max_batch=None):
@@ -350,13 +414,7 @@ class UNet2DSummary:
         Keras files are imported through interop.keras_import transparently.
         """
         logger = logging.getLogger(funcname())
-        if str(model_path).endswith((".hdf5", ".h5")):
-            from deepcalcium_tpu.interop.keras_import import load_unet2ds_keras
-
-            params, state = load_unet2ds_keras(model_path)
-        else:
-            params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
-            params, state, _, _ = load_checkpoint(model_path, params0, state0)
+        params, state = self._load_params(model_path)
         logger.info("Loaded model from %s.", model_path)
 
         apply_fn = functools.partial(

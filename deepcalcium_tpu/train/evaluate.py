@@ -15,13 +15,77 @@ Replaces the reference predict path (``unet_2d_summary.py:532-625``):
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
 from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
 
 __all__ = ["reflect_pad_to", "predict_batched", "predict_tta",
-           "predict_tiled"]
+           "predict_tiled", "make_movie_evaluator"]
+
+
+def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
+                         threshold=0.5, mesh=None):
+    """Build the fused end-to-end movie evaluator: ONE jitted graph running
+    summary-reduction -> z-norm -> reflect-pad -> (8x TTA) forward ->
+    inverse/average -> threshold, entirely on device.
+
+    This is the library form of the headline benchmark pipeline (the
+    reference's ingest+summarize+predict path, dlmia_workshop_figures.ipynb
+    cell 7): the movie crosses host->device once and a single dispatch
+    returns the final mask. ``UNet2DSummary.evaluate_movie`` and ``bench.py``
+    both run through here.
+
+    # Arguments
+        apply_fn: f(params, state, x, train=...) -> (probs, state); bake
+            compute_dtype in with functools.partial.
+        movie_shape: static (T, H, W) of the movies this evaluator serves.
+        window: inference window (>= image, multiples of 16).
+        tta: fold the 8 invertible augmentations into one (8, H, W) batch.
+        mesh: optional Mesh — shards the movie's time axis over 'data' for
+            the summary reduction and the TTA view batch for the forward.
+
+    # Returns
+        evaluate(params, state, movie) -> (mask uint8 (H, W),
+        prob float32 (H, W), mean float32 (H, W))
+    """
+    from deepcalcium_tpu.ops.summary import (movie_summary_fast,
+                                             movie_summary_sharded)
+
+    t, h, w = movie_shape
+    hw, ww = window
+    if h > hw or w > ww:
+        raise ValueError(f"movie frames {(h, w)} larger than window {window}")
+
+    def evaluate(params, state, movie):
+        if mesh is not None:
+            mean, _ = movie_summary_sharded(movie, mesh)
+        else:
+            mean, _ = movie_summary_fast(movie)
+        z = (mean - jnp.mean(mean)) / jnp.std(mean)
+        if (h, w) != (hw, ww):
+            z = jnp.pad(z, ((0, hw - h), (0, ww - w)), mode="reflect")
+        if tta:
+            views = tta_expand(z[None]).reshape(8, hw, ww)
+            probs, _ = apply_fn(params, state, views, train=False)
+            prob = tta_collapse(probs.reshape(8, 1, hw, ww))[0]
+        else:
+            probs, _ = apply_fn(params, state, z[None], train=False)
+            prob = probs[0]
+        prob = prob[:h, :w]
+        return (prob > threshold).astype(jnp.uint8), prob, mean
+
+    if mesh is None:
+        return jax.jit(evaluate)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deepcalcium_tpu.parallel.mesh import replicated
+
+    rep = replicated(mesh)
+    tshard = NamedSharding(mesh, P("data", None, None))
+    return jax.jit(evaluate, in_shardings=(rep, rep, tshard),
+                   out_shardings=(rep, rep, rep))
 
 
 def reflect_pad_to(img: np.ndarray, hw: int, ww: int) -> np.ndarray:

@@ -144,6 +144,68 @@ def test_import_rejects_wrong_order(tmp_path, init_shapes_2d):
         load_unet2ds_keras(path, nfb=4)
 
 
+def test_fit_warm_start_from_keras_hdf5(tmp_path):
+    """Training continuity from Keras checkpoints (reference
+    fit(model_path=..., proceed=...), unet_2d_summary.py:383-394): fit must
+    start from the imported Keras weights, not a fresh init. With lr=0 the
+    Adam updates are exactly zero, so the epoch-0 checkpoint's params must
+    equal the Keras file's weights bit-for-bit."""
+    import functools
+
+    import jax
+
+    from deepcalcium_tpu.data.fixtures import (
+        make_keras_unet2ds_hdf5, make_neurons_hdf5)
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+    from deepcalcium_tpu.train.checkpoints import load_checkpoint
+
+    ds = make_neurons_hdf5(str(tmp_path / "d" / "dataset.hdf5"),
+                           name="warm.0", shape=(96, 96), nb_frames=16)
+    keras_ckpt = make_keras_unet2ds_hdf5(str(tmp_path / "unet2ds_model.hdf5"),
+                                         nfb=4)
+    model = UNet2DSummary(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet2d.init, nfb=4))
+    history, best = model.fit(
+        [ds], model_path=keras_ckpt, proceed=True, learning_rate=0.0,
+        shape_trn=(32, 32), shape_val=(96, 96), batch_size_trn=2,
+        nb_steps_trn=1, nb_epochs=1)
+    assert best is not None and np.isfinite(history["loss"][0])
+
+    kp, ks = load_unet2ds_keras(keras_ckpt)
+    p_like, s_like = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    params, _, _, _ = load_checkpoint(best, p_like, s_like)
+    for lname in kp:
+        for wname in kp[lname]:
+            np.testing.assert_array_equal(
+                np.asarray(params[lname][wname]), kp[lname][wname])
+
+
+def test_cli_convert_keras_to_ckpt(tmp_path):
+    """dc-tpu convert model.hdf5 model.ckpt produces a loadable native
+    checkpoint with the same weights."""
+    import jax
+
+    from deepcalcium_tpu.cli import main
+    from deepcalcium_tpu.data.fixtures import make_keras_unet2ds_hdf5
+    from deepcalcium_tpu.train.checkpoints import load_checkpoint
+
+    src = make_keras_unet2ds_hdf5(str(tmp_path / "unet2ds_model.hdf5"), nfb=4)
+    dst = str(tmp_path / "unet2ds_model.ckpt")
+    main(["convert", src, dst])
+
+    kp, ks = load_unet2ds_keras(src)
+    p_like, s_like = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    params, state, _, meta = load_checkpoint(dst, p_like, s_like)
+    for lname in kp:
+        for wname in kp[lname]:
+            np.testing.assert_array_equal(
+                np.asarray(params[lname][wname]), kp[lname][wname])
+    assert meta["arch"] == "unet2ds"
+    probs, _ = unet2d.apply(params, state, np.zeros((1, 64, 64), np.float32))
+    assert probs.shape == (1, 64, 64)
+
+
 def test_predict_directly_from_keras_hdf5(tmp_path):
     """Migration path: UNet2DSummary.predict(model_path='*.hdf5') routes a
     Keras checkpoint through the import shim transparently."""
