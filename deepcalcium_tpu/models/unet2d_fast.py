@@ -1,0 +1,243 @@
+"""MXU-shaped inference path for UNet2DS: exact rewrites, same weights.
+
+The plain eval forward at (8, 512, 512) spends ~70% of its time in the
+level-0/1 blocks whose channel counts (1/2/32/64) starve the 128x128 MXU:
+a conv contributes roughly min(cin,128)/128 x min(cout,128)/128 of peak, so
+the 32->32 convs at 512^2 run at ~1/16 peak while dec3a (512->256) measures
+96% of peak (examples/analysis/unet_layer_bench.py, docs/VALIDATION.md).
+
+Three *mathematically exact* transformations fix the thin layers without
+touching the weights or the training path:
+
+1. **Space-to-depth at level 0** — every 512^2 tensor is held as its
+   (256^2, 4C) space-to-depth packing ((p, q) major, c minor). A stride-1
+   3x3 conv on the original image is exactly a 3x3 conv on the packing with
+   a sparse (4cin, 4cout) kernel built from the original by
+   :func:`s2d_conv3_kernel` (4x the FLOPs at ~16x the MXU utilization);
+   MaxPool2 becomes a channel-group max (no spatial window); the k=2 s=2
+   transpose conv becomes a 1x1 conv (pure matmul, no interleave).
+2. **BN folding** — inference BN is per-channel affine; its scale/shift
+   fold into the preceding conv's kernel/bias (:func:`fold_bn`), removing
+   every BN from the graph.
+3. **Sigmoid head** — softmax([a, b])[1] == sigmoid(b - a), so the
+   2-channel 1x1 conv + softmax (whose C=2 tensors pad to 128 lanes and
+   measured 0.1 TFLOP/s) becomes a single channel-reduction dot.
+
+`apply_fast(params, state, x)` matches `unet2d.apply(..., train=False)` to
+float tolerance (tests/test_unet2d_fast.py) and is what
+``make_movie_evaluator`` dispatches for inference on TPU-friendly shapes.
+Training keeps the reference-parity path in models/unet2d.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["apply_fast", "fold_bn", "s2d_conv3_kernel"]
+
+
+def fold_bn(conv_p, bn_p, bn_s):
+    """Fold inference-mode BN into the preceding conv's kernel/bias.
+
+    y = (conv(x) + b - mean) * gamma/sqrt(var+eps) + beta
+      = conv_scaled(x) + b'
+    Kernel layouts: last axis is the output channel for both HWIO convs and
+    HWOI tconvs? No — HWOI has out at axis 2; pass ``out_axis`` via shape.
+    Here we require HWIO (out last); tconv kernels are pre-transformed to
+    1x1 HWIO form before folding.
+    """
+    from deepcalcium_tpu.models.blocks import BN_EPS
+
+    scale = bn_p["gamma"] * jax.lax.rsqrt(bn_s["var"] + BN_EPS)
+    kernel = conv_p["kernel"] * scale  # broadcast over the last (out) axis
+    bias = (conv_p["bias"] - bn_s["mean"]) * scale + bn_p["beta"]
+    return kernel, bias
+
+
+def s2d_conv3_kernel(k):
+    """Exact space-to-depth transform of a stride-1 3x3 SAME conv kernel.
+
+    With Z[i, j, (p, q, c)] = X[2i + p, 2j + q, c] ((p, q) major), the conv
+    Y = K * X satisfies s2d(Y) = K' * Z where K' is the (3, 3, 4cin, 4cout)
+    kernel built here:
+
+        out[u', o] at offset (p', q') sums K[du, dv, c, o] X[u'+du-1, ...];
+        writing u' = 2i' + p' and u = 2i + p gives p = (p'+du-1) mod 2 and
+        di = (p'+du-1-p)/2 in {-1, 0, 1} — a 3x3 neighborhood in packed
+        space. 25% dense; the dense matmul trades 4x FLOPs for full-lane
+        MXU occupancy.
+    """
+    kh, kw, cin, cout = k.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), k.dtype)
+    for pp in (0, 1):
+        for qq in (0, 1):
+            for du in range(3):
+                for dv in range(3):
+                    p = (pp + du - 1) % 2
+                    di = (pp + du - 1 - p) // 2
+                    q = (qq + dv - 1) % 2
+                    dj = (qq + dv - 1 - q) // 2
+                    gi, go = p * 2 + q, pp * 2 + qq
+                    out = out.at[
+                        di + 1, dj + 1,
+                        gi * cin : (gi + 1) * cin,
+                        go * cout : (go + 1) * cout,
+                    ].set(k[du, dv])
+    return out
+
+
+def _s2d(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), (p, q) major / c minor."""
+    b, h, w, c = x.shape
+    z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _inv_s2d(z, c):
+    b, h2, w2, c4 = z.shape
+    y = z.reshape(b, h2, w2, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2 * 2, w2 * 2, c)
+
+
+def _conv(x, kernel, bias, dt):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dt)
+
+
+def _tile4(v):
+    """Per-channel BN vector -> its (p, q)-major s2d replication."""
+    return jnp.tile(v, 4)
+
+
+def apply_fast(params, state, x, train: bool = False, rng=None,
+               compute_dtype=jnp.bfloat16, **_ignored):
+    """Inference forward, numerically equivalent to
+    ``unet2d.apply(..., train=False)``; requires H, W divisible by 32 and
+    the 'transpose' up mode. Signature-compatible with ``apply`` so it can
+    be swapped into evaluators; ``train=True`` is rejected (the parity path
+    owns training).
+
+    # Returns
+        (probs (B, H, W) float32, state) — state passes through unchanged.
+    """
+    if train:
+        raise ValueError("apply_fast is inference-only; use unet2d.apply "
+                         "for training")
+    if "up0_tconv" not in params:
+        raise ValueError("apply_fast supports the 'transpose' up mode only "
+                         "(the published recipe); use unet2d.apply for "
+                         "upsampling-mode checkpoints")
+    b, h, w = x.shape
+    assert h % 16 == 0 and w % 16 == 0, (
+        f"apply_fast needs H, W % 16 == 0, got {(h, w)}; "
+        f"use unet2d.apply for odd shapes")
+    dt = compute_dtype or jnp.float32
+    from deepcalcium_tpu.models import blocks as B
+
+    def fold(name):
+        return fold_bn(params[f"{name}_conv"], params[f"{name}_bn"],
+                       state[f"{name}_bn"])
+
+    def cbr(name, hh):
+        k, bb = fold(name)
+        return jax.nn.relu(_conv(hh, k, bb, dt))
+
+    def cbr_s2d(name, hh):
+        k, bb = fold(name)
+        return jax.nn.relu(_conv(hh, s2d_conv3_kernel(k), _tile4(bb), dt))
+
+    def up(name, hh):
+        kt = params[f"{name}_tconv"]["kernel"]  # (2,2,out,in) HWOI
+        # einsum tconv (blocks.tconv2x2) with folded BN(momentum .5).
+        scale = params[f"{name}_bn"]["gamma"] * jax.lax.rsqrt(
+            state[f"{name}_bn"]["var"] + B.BN_EPS)
+        bias = ((params[f"{name}_tconv"]["bias"] - state[f"{name}_bn"]["mean"])
+                * scale + params[f"{name}_bn"]["beta"])
+        k = kt * scale[None, None, :, None]
+        y = jnp.einsum("bhwc,pqoc->bhpwqo", hh.astype(dt), k.astype(dt))
+        bsz, hh_, _, ww_, _, o = y.shape
+        y = y.reshape(bsz, 2 * hh_, 2 * ww_, o) + bias.astype(dt)
+        return jax.nn.relu(y)
+
+    def up_s2d(name, hh):
+        # k=2 s=2 tconv == a 1x1 conv in s2d space: out group (p, q) channel
+        # o reads Kt[p, q, o, :]. Fold BN(momentum .5) per output channel.
+        kt = params[f"{name}_tconv"]["kernel"]  # (2,2,o,c)
+        scale = params[f"{name}_bn"]["gamma"] * jax.lax.rsqrt(
+            state[f"{name}_bn"]["var"] + B.BN_EPS)
+        bias = ((params[f"{name}_tconv"]["bias"] - state[f"{name}_bn"]["mean"])
+                * scale + params[f"{name}_bn"]["beta"])
+        kt = kt * scale[None, None, :, None]
+        _, _, o, c = kt.shape
+        k1 = kt.transpose(3, 0, 1, 2).reshape(c, 4 * o)  # (c, (p,q,o))
+        y = hh.astype(dt) @ k1.astype(dt) + _tile4(bias).astype(dt)
+        return jax.nn.relu(y)
+
+    def pool_s2d(z, c):
+        """MaxPool2 of the un-packed tensor == max over the 4 (p, q) groups;
+        emits a STANDARD (B, H/2, W/2, c) tensor."""
+        return z.reshape(*z.shape[:3], 4, c).max(axis=3)
+
+    def concat_s2d(a, ca, bzz, cb):
+        """Channel concat of two (p, q)-major s2d tensors so the result is
+        the s2d of the per-pixel concat."""
+        bs, hh, ww = a.shape[:3]
+        a = a.reshape(bs, hh, ww, 4, ca)
+        bzz = bzz.reshape(bs, hh, ww, 4, cb)
+        return jnp.concatenate([a, bzz], axis=-1).reshape(
+            bs, hh, ww, 4 * (ca + cb))
+
+    nfb = params["enc0a_conv"]["kernel"].shape[-1]
+
+    # ---- level 0 in space-to-depth form (no thin-channel 512^2 convs;
+    # measured on v5e: extending s2d to level 1 as well is a net LOSS —
+    # 16.6 ms vs 13.8 ms for the (8, 512, 512) forward — because at
+    # K, N >= 64 the 4x FLOP inflation outweighs the utilization gain) ----
+    z = _s2d(x[..., None].astype(dt))               # (B, H/2, W/2, 4)
+    z = cbr_s2d("enc0a", z)
+    z = cbr_s2d("enc0b", z)                          # skip0, s2d (4*nfb)
+    skip0 = z
+    hh = pool_s2d(z, nfb)                            # (B, H/2, W/2, nfb)
+
+    # ---- levels 1..4: standard path with folded BN. Measured on v5e
+    # (8, 512, 512): extending s2d to level 1 LOSES — full L1 16.6 ms,
+    # encoder-only L1 14.9 ms, vs 13.8 ms for L0-only — because unlike
+    # level 0 (whose packing boundaries are free reshapes), level 1 pays
+    # real 67-134 MB minor-dim transposes at the _s2d/_inv_s2d seams and
+    # its K >= 64 convs already run at a usable fraction of peak. ----
+    hh = cbr("enc1b", cbr("enc1a", hh))
+    skip1 = hh
+    hh = B.maxpool2(hh)
+    hh = cbr("enc2b", cbr("enc2a", hh))
+    skip2 = hh
+    hh = B.maxpool2(hh)
+    hh = cbr("enc3b", cbr("enc3a", hh))
+    skip3 = hh
+    hh = B.maxpool2(hh)
+    hh = cbr("midb", cbr("mida", hh))
+    hh = up("up3", hh)
+    hh = cbr("dec3b", cbr("dec3a", jnp.concatenate([hh, skip3], axis=-1)))
+    hh = up("up2", hh)
+    hh = cbr("dec2b", cbr("dec2a", jnp.concatenate([hh, skip2], axis=-1)))
+    hh = up("up1", hh)
+    hh = cbr("dec1b", cbr("dec1a", jnp.concatenate([hh, skip1], axis=-1)))
+
+    # ---- decoder level 0 in s2d ----
+    zu = up_s2d("up0", hh)                           # s2d, 4*nfb channels
+    z = concat_s2d(zu, nfb, skip0, nfb)              # s2d of [up, skip]
+    z = cbr_s2d("dec0a", z)
+    z = cbr_s2d("dec0b", z)
+
+    # ---- head: softmax([a, b])[1] == sigmoid(b - a), one dot ----
+    hk = params["head_conv"]["kernel"][0, 0]         # (nfb, 2)
+    wd = (hk[:, 1] - hk[:, 0]).astype(jnp.float32)
+    bd = (params["head_conv"]["bias"][1]
+          - params["head_conv"]["bias"][0]).astype(jnp.float32)
+    zz = z.reshape(*z.shape[:3], 4, nfb).astype(jnp.float32)
+    logit = jnp.einsum("bhwgc,c->bhwg", zz, wd) + bd
+    prob = jax.nn.sigmoid(logit)                     # (B, H/2, W/2, 4)
+    prob = _inv_s2d(prob, 1)[..., 0]                 # -> (B, H, W)
+    return prob, state

@@ -1,0 +1,188 @@
+"""Per-layer roofline profile of the UNet2DS TTA-eval forward on a TPU chip.
+
+Times every distinct conv/tconv/pool block of the (8, 512, 512) TTA batch in
+isolation (bf16, inference-mode BN + ReLU fused behind one jit each), plus
+the Pallas summary reduction and the full fused evaluate graph, and compares
+each against a per-layer roofline:
+
+    t_roofline = max(flops / (peak * lane_util), bytes / bw_peak)
+
+where lane_util = min(cout, 128)/128 models MXU lane padding for thin output
+channels (the v5e MXU is 128x128; a cout=32 conv leaves 3/4 of the lanes
+idle), and bytes counts bf16 input+output (+kernel) traffic.
+
+Timing uses the slope method (22-vs-2 pipelined iterations, drained by a
+scalar host fetch) — required through the axon tunnel where
+block_until_ready can return before the queue drains.
+
+Usage: python examples/analysis/unet_layer_bench.py [--csv out.csv]
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.append(".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_TFLOPS = 197e12  # v5e bf16
+PEAK_GBS = 819e9      # v5e HBM
+
+
+def slope_time(fn, args, iters=20):
+    def drain(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    drain(fn(*args))  # compile + warm
+    ts = {}
+    for n in (2, 2 + iters):
+        tic = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        drain(out)
+        ts[n] = time.perf_counter() - tic
+    return (ts[2 + iters] - ts[2]) / iters
+
+
+def block_fns():
+    """(name, fn, x_shape, flops, bytes) for every distinct block of the
+    (8, 512, 512) eval forward, nfb=32."""
+    from deepcalcium_tpu.models import blocks as B
+
+    rng = np.random.default_rng(0)
+    out = []
+
+    def cbr(name, res, cin, cout, k=3):
+        kern = jnp.asarray(rng.standard_normal((k, k, cin, cout)), jnp.float32)
+        bias = jnp.zeros((cout,), jnp.float32)
+        g = jnp.ones((cout,), jnp.float32)
+        be = jnp.zeros((cout,), jnp.float32)
+        mu = jnp.zeros((cout,), jnp.float32)
+        va = jnp.ones((cout,), jnp.float32)
+
+        @jax.jit
+        def fn(x):
+            y = B.conv2d(x, {"kernel": kern, "bias": bias}, dtype=jnp.bfloat16)
+            y, _ = B.batch_norm(y, {"gamma": g, "beta": be},
+                                {"mean": mu, "var": va}, False, 0.99)
+            return jax.nn.relu(y)
+
+        flops = 2 * k * k * cin * cout * res * res * 8
+        byts = (res * res * (cin + cout) * 8) * 2  # bf16 in+out
+        out.append((name, fn, (8, res, res, cin), flops, byts, cout))
+
+    def tconv(name, res, cin, cout):
+        kern = jnp.asarray(rng.standard_normal((2, 2, cout, cin)), jnp.float32)
+        bias = jnp.zeros((cout,), jnp.float32)
+
+        @jax.jit
+        def fn(x):
+            return B.tconv2x2(x, {"kernel": kern, "bias": bias},
+                              dtype=jnp.bfloat16)
+
+        flops = 2 * 4 * cin * cout * res * res * 8
+        byts = (res * res * cin + 4 * res * res * cout) * 8 * 2
+        out.append((name, fn, (8, res, res, cin), flops, byts, cout))
+
+    def pool(name, res, c):
+        @jax.jit
+        def fn(x):
+            return B.maxpool2(x)
+
+        byts = (res * res + (res // 2) ** 2) * c * 8 * 2
+        out.append((name, fn, (8, res, res, c), 0, byts, c))
+
+    f = 32
+    cbr("enc0a 1->32@512", 512, 1, f)
+    cbr("enc0b 32->32@512", 512, f, f)
+    cbr("enc1a 32->64@256", 256, f, 2 * f)
+    cbr("enc1b 64->64@256", 256, 2 * f, 2 * f)
+    cbr("enc2a 64->128@128", 128, 2 * f, 4 * f)
+    cbr("enc2b 128->128@128", 128, 4 * f, 4 * f)
+    cbr("enc3a 128->256@64", 64, 4 * f, 8 * f)
+    cbr("enc3b 256->256@64", 64, 8 * f, 8 * f)
+    cbr("mida 256->512@32", 32, 8 * f, 16 * f)
+    cbr("midb 512->512@32", 32, 16 * f, 16 * f)
+    tconv("up3 512->256@32", 32, 16 * f, 8 * f)
+    cbr("dec3a 512->256@64", 64, 16 * f, 8 * f)
+    tconv("up2 256->128@64", 64, 8 * f, 4 * f)
+    cbr("dec2a 256->128@128", 128, 8 * f, 4 * f)
+    tconv("up1 128->64@128", 128, 4 * f, 2 * f)
+    cbr("dec1a 128->64@256", 256, 4 * f, 2 * f)
+    tconv("up0 64->32@256", 256, 2 * f, f)
+    cbr("dec0a 64->32@512", 512, 2 * f, f)
+    cbr("head 32->2@512", 512, f, 2, k=1)
+    pool("pool0 32@512", 512, f)
+    pool("pool1 64@256", 256, 2 * f)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv")
+    args = ap.parse_args()
+
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.ops.summary import movie_summary_fast
+    from deepcalcium_tpu.train.evaluate import make_movie_evaluator
+
+    rows = []
+    rng = np.random.default_rng(1)
+    total_meas = 0.0
+    total_roof = 0.0
+    print(f"{'block':26s} {'ms':>7s} {'roof_ms':>8s} {'x':>5s} "
+          f"{'TFLOP/s':>8s} {'GB/s':>7s}")
+    for name, fn, xshape, flops, byts, cout in block_fns():
+        x = jnp.asarray(rng.standard_normal(xshape), jnp.bfloat16)
+        dt = slope_time(fn, (x,))
+        lane = min(cout, 128) / 128
+        roof = max(flops / (PEAK_TFLOPS * lane), byts / PEAK_GBS)
+        # multiplicity: enc blocks with a same-shape twin (b-convs reused by
+        # dec) are reported once; the caller sums by hand.
+        rows.append((name, dt * 1e3, roof * 1e3, flops, byts))
+        total_meas += dt
+        total_roof += roof
+        print(f"{name:26s} {dt*1e3:7.3f} {roof*1e3:8.3f} "
+              f"{dt/max(roof,1e-9):5.1f} {flops/dt/1e12:8.1f} "
+              f"{byts/dt/1e9:7.0f}")
+
+    # Summary reduction + full fused evaluate for reference.
+    t, h, w = 3000, 512, 512
+    movie = jax.jit(lambda k: jax.random.randint(k, (t, h, w), 0, 2000,
+                                                 jnp.int16))(jax.random.PRNGKey(0))
+    jax.block_until_ready(movie)
+    dt = slope_time(jax.jit(lambda m: movie_summary_fast(m)[0]), (movie,))
+    print(f"{'summary(pallas)':26s} {dt*1e3:7.3f} "
+          f"{t*h*w*2/PEAK_GBS*1e3:8.3f} {'':5s} {'':8s} "
+          f"{t*h*w*2/dt/1e9:7.0f}")
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params, state = unet2d.init(jax.random.PRNGKey(0), nfb=32)
+    params = jax.device_put(params, jax.devices()[0])
+    state = jax.device_put(state, jax.devices()[0])
+    ev = make_movie_evaluator(
+        functools.partial(unet2d.apply, compute_dtype=jnp.bfloat16),
+        (t, h, w))
+    dt = slope_time(lambda m: ev(params, state, m), (movie,))
+    print(f"{'FULL fused evaluate':26s} {dt*1e3:7.3f}")
+    print(f"single-count block sum: measured={total_meas*1e3:.2f} ms "
+          f"roofline={total_roof*1e3:.2f} ms")
+
+    if args.csv:
+        import csv
+
+        with open(args.csv, "w", newline="") as fp:
+            wr = csv.writer(fp)
+            wr.writerow(["block", "ms", "roof_ms", "flops", "bytes"])
+            wr.writerows(rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""apply_fast (MXU-shaped inference rewrite) vs the parity forward.
+
+The fast path — space-to-depth level 0 with exactly-transformed kernels,
+inference-BN folding, sigmoid-difference head — must be numerically
+EQUIVALENT to unet2d.apply(train=False): same weights, same outputs to
+float32 tolerance. These tests pin that equivalence plus the guard rails.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcalcium_tpu.models import unet2d
+from deepcalcium_tpu.models.unet2d_fast import (apply_fast, fold_bn,
+                                                s2d_conv3_kernel)
+
+
+@pytest.fixture(scope="module")
+def net():
+    params, state = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    # Randomize BN state so the folding is actually exercised (fresh init
+    # has mean=0/var=1, which folding could get wrong and still pass).
+    k = jax.random.PRNGKey(9)
+    state = jax.tree.map(
+        lambda v: v + 0.3 * jax.random.uniform(k, v.shape), state)
+    return params, state
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
+def test_matches_parity_forward_f32(net, hw):
+    params, state = net
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2,) + hw), jnp.float32)
+    ref, _ = unet2d.apply(params, state, x, train=False)
+    fast, _ = apply_fast(params, state, x, compute_dtype=None)
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_s2d_kernel_exactness():
+    """The transformed kernel reproduces a stride-1 3x3 SAME conv exactly
+    on the packed representation, independent of the net."""
+    rng = np.random.default_rng(1)
+    cin, cout, h, w = 3, 5, 16, 12
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                       dimension_numbers=dn)
+
+    z = x.reshape(2, h // 2, 2, w // 2, 2, cin).transpose(
+        0, 1, 3, 2, 4, 5).reshape(2, h // 2, w // 2, 4 * cin)
+    zk = s2d_conv3_kernel(k)
+    zy = jax.lax.conv_general_dilated(z, zk, (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    y = zy.reshape(2, h // 2, w // 2, 2, 2, cout).transpose(
+        0, 1, 3, 2, 4, 5).reshape(2, h, w, cout)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fold_bn_exactness():
+    from deepcalcium_tpu.models import blocks as B
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    conv_p = {"kernel": jnp.asarray(rng.standard_normal((3, 3, 3, 4)),
+                                    jnp.float32),
+              "bias": jnp.asarray(rng.standard_normal((4,)), jnp.float32)}
+    bn_p = {"gamma": jnp.asarray(rng.random(4) + 0.5, jnp.float32),
+            "beta": jnp.asarray(rng.standard_normal(4), jnp.float32)}
+    bn_s = {"mean": jnp.asarray(rng.standard_normal(4), jnp.float32),
+            "var": jnp.asarray(rng.random(4) + 0.5, jnp.float32)}
+
+    y_ref, _ = B.batch_norm(B.conv2d(x, conv_p), bn_p, bn_s, False, 0.99)
+    k, b = fold_bn(conv_p, bn_p, bn_s)
+    y = B.conv2d(x, {"kernel": k, "bias": b})
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rejects_training_and_upsampling(net):
+    params, state = net
+    x = jnp.zeros((1, 32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="inference-only"):
+        apply_fast(params, state, x, train=True)
+    pu, su = unet2d.init(jax.random.PRNGKey(0), nfb=4, up_mode="upsampling")
+    with pytest.raises(ValueError, match="transpose"):
+        apply_fast(pu, su, x)
+
+
+def test_evaluate_movie_fast_matches_slow(tmp_path, net):
+    """The wrapper's fast='auto'/True path returns the same mask as
+    fast=False on the stock net (f32)."""
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    params, state = net
+    rng = np.random.default_rng(3)
+    movie = rng.integers(0, 1500, (10, 48, 48)).astype(np.int16)
+    model = UNet2DSummary(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet2d.init, nfb=4))
+    m_fast, p_fast = model.evaluate_movie(movie, params=params, state=state,
+                                          window_shape=(48, 48), fast=True)
+    m_slow, p_slow = model.evaluate_movie(movie, params=params, state=state,
+                                          window_shape=(48, 48), fast=False)
+    np.testing.assert_allclose(p_fast, p_slow, atol=2e-6, rtol=1e-5)
+    np.testing.assert_array_equal(m_fast, m_slow)
