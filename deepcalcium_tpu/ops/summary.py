@@ -321,11 +321,28 @@ def movie_summary_sharded(movie, mesh, axis: str = "data", chunk: int = 64,
     Each device reduces its local T-shard (the Pallas kernel on TPU meshes,
     the scan elsewhere — override with ``use_pallas``), then combines
     partial sums with ``psum`` and partial maxes with ``pmax`` over ICI.
-    T must divide evenly by the mesh axis size (pad upstream if needed).
+
+    Ragged T is handled without materializing a padded copy of the movie:
+    the divisible head reduces sharded, the tail (< mesh size frames)
+    reduces single-device, and the two combine exactly.
     """
     t = movie.shape[0]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    n = mesh.shape[axis]
+    r = t % n
+    if r:
+        if t < n:
+            mean, mx = movie_summary(movie, chunk=min(chunk, t))
+            return mean, mx.astype(jnp.float32)
+        head_mean, head_max = movie_summary_sharded(
+            movie[: t - r], mesh, axis=axis, chunk=chunk,
+            use_pallas=use_pallas)
+        tail_mean, tail_max = movie_summary(movie[t - r :],
+                                            chunk=min(chunk, r))
+        mean = (head_mean * (t - r) + tail_mean * r) / jnp.float32(t)
+        return mean, jnp.maximum(head_max, tail_max.astype(jnp.float32))
 
     def local(mv):
         if use_pallas:

@@ -46,3 +46,23 @@ def initialize(coordinator_address: str | None = None,
 def pod_mesh(axis: str = "data") -> Mesh:
     """1-D mesh over every device in the pod (all hosts)."""
     return Mesh(np.array(jax.devices()), (axis,))
+
+
+def global_batch_from_local(mesh: Mesh, batch, axis: str = "data"):
+    """Assemble a globally-sharded device batch from each process's LOCAL
+    host data (multi-host pods: every process feeds only its own shard;
+    SURVEY §2.2 'jax.distributed + DCN').
+
+    Uses ``jax.make_array_from_process_local_data``: the global batch dim is
+    the concatenation of all processes' local dim-0 sizes; on a single-host
+    mesh this degrades to a sharded ``device_put``. Per-process local batch
+    sizes must divide over the process's addressable devices.
+    """
+    from deepcalcium_tpu.parallel.mesh import batch_sharding
+
+    def put(x):
+        x = np.asarray(x)
+        s = batch_sharding(mesh, x.ndim, axis)
+        return jax.make_array_from_process_local_data(s, x)
+
+    return jax.tree.map(put, batch)

@@ -57,6 +57,9 @@ def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
     hw, ww = window
     if h > hw or w > ww:
         raise ValueError(f"movie frames {(h, w)} larger than window {window}")
+    if tta and hw != ww:
+        raise ValueError(f"TTA needs a square window (rot90 views); "
+                         f"got {window}")
 
     def evaluate(params, state, movie):
         if mesh is not None:
@@ -83,7 +86,10 @@ def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
     from deepcalcium_tpu.parallel.mesh import replicated
 
     rep = replicated(mesh)
-    tshard = NamedSharding(mesh, P("data", None, None))
+    # Ragged T: movie_summary_sharded splits head/tail internally, but the
+    # input layout itself must divide to shard — replicate it otherwise.
+    even = t % mesh.shape["data"] == 0
+    tshard = NamedSharding(mesh, P("data" if even else None, None, None))
     return jax.jit(evaluate, in_shardings=(rep, rep, tshard),
                    out_shardings=(rep, rep, rep))
 

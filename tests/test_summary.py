@@ -65,6 +65,19 @@ def test_sharded_summary_matches_single_device(rng):
     np.testing.assert_array_equal(np.asarray(mx), movie.max(0))
 
 
+def test_sharded_summary_ragged_t(rng):
+    """T not divisible by the mesh: head reduces sharded, tail locally —
+    result exact vs a single-device reduction (no padded movie copy)."""
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    n = devices.size
+    for t in (8 * n + 3, n - 1, 5 * n + n - 1):
+        movie = rng.integers(0, 1000, size=(t, 16, 128)).astype(np.int16)
+        mean, mx = movie_summary_sharded(movie, mesh, axis="data", chunk=8)
+        np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(mx), movie.max(0))
+
+
 def test_pallas_float_movie_nondivisible_t(rng):
     """Regression: float movies with T % chunk != 0 must not NaN (the old
     finfo.min time-padding poisoned the sum)."""
