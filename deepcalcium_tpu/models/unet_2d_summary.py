@@ -101,7 +101,7 @@ class UNet2DSummary:
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=False, nb_max_augment=15,
             epoch_callbacks=(), profile_dir=None, ema_decay=None,
-            lr_schedule="plateau"):
+            lr_schedule="plateau", steps_per_dispatch=1):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -126,6 +126,14 @@ class UNet2DSummary:
         train F1, reference :425-426), ``"cosine"`` (beyond-reference:
         anneal ``learning_rate`` -> 1e-4 over ``nb_epochs``), or a callable
         ``f(next_epoch) -> lr`` for custom schedules.
+
+        ``steps_per_dispatch`` (K): run K train steps inside ONE jitted
+        ``lax.scan`` dispatch on stacked (K, B, ...) batches — amortizes
+        per-step dispatch latency (docs/VALIDATION.md measured a ~30x
+        wall/device gap through the tunnel at K=1). Must divide
+        ``nb_steps_trn``. Semantically identical to K=1 including per-step
+        EMA; only the host-visible metric granularity changes (still
+        per-step).
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
@@ -185,13 +193,49 @@ class UNet2DSummary:
         if self.remat:
             apply_kw["remat"] = True
         apply_fn = functools.partial(self.net_apply_func, **apply_kw)
-        step = T.make_train_step(apply_fn, loss_fn, optimizer, mesh=mesh)
+        kdisp = int(steps_per_dispatch)
+        assert kdisp >= 1 and nb_steps_trn % kdisp == 0, (
+            f"steps_per_dispatch={kdisp} must divide nb_steps_trn="
+            f"{nb_steps_trn}")
+        if kdisp > 1:
+            step = T.make_multi_step(apply_fn, loss_fn, optimizer, kdisp,
+                                     ema_decay=ema_decay, mesh=mesh)
+        else:
+            step = T.make_train_step(apply_fn, loss_fn, optimizer, mesh=mesh)
         eval_fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
-        # Sampler + device prefetch.
+        # Sampler + device prefetch. With K-step dispatch the producer
+        # thread stacks K batches into one (K, B, ...) slab per dispatch.
         sampler = WindowSampler(S, M, names, yctrn, shape_trn,
                                 nb_max_augment=nb_max_augment, seed=seed)
-        prefetch = Prefetcher(sampler.batches(batch_size_trn))
+        if kdisp > 1:
+            def _stacked(gen=sampler.batches(batch_size_trn)):
+                while True:
+                    bs = [next(gen) for _ in range(kdisp)]
+                    yield (np.stack([b[0] for b in bs]),
+                           np.stack([b[1] for b in bs]))
+
+            batch_gen = _stacked()
+        else:
+            batch_gen = sampler.batches(batch_size_trn)
+        # Host->device transfer on the producer thread so it overlaps the
+        # previous step's compute (measured: the synchronous transfer costs
+        # ~10 ms/step through a thin link; docs/VALIDATION.md round 2).
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # K-stacked batches are (K, B, ...): the BATCH axis (dim 1)
+            # shards; plain batches shard dim 0.
+            bdim = 1 if kdisp > 1 else 0
+            def put_fn(b, _m=mesh, _d=bdim):
+                def sh(x):
+                    spec = PartitionSpec(
+                        *([None] * _d), "data", *([None] * (x.ndim - _d - 1)))
+                    return jax.device_put(x, NamedSharding(_m, spec))
+                return tuple(sh(a) for a in b)
+        else:
+            put_fn = lambda b: tuple(jax.device_put(a) for a in b)
+        prefetch = Prefetcher(batch_gen, put_fn=put_fn)
 
         # Observability.
         tic = int(time.time())
@@ -237,14 +281,19 @@ class UNet2DSummary:
                 # when it is the only one.
                 profile_epoch = 1 if nb_epochs > 1 else 0
                 with trace(profile_dir if epoch == profile_epoch else None):
-                    for _ in range(nb_steps_trn):
+                    for _ in range(nb_steps_trn // kdisp):
                         sb, mb = next(prefetch)
                         rng, sub = jax.random.split(rng)
-                        params, state, opt_state, met = step(
-                            params, state, opt_state, sb, mb, sub)
-                        if ema_decay:
-                            ema_params = T.ema_update(ema_params, params,
-                                                      ema_decay)
+                        if kdisp > 1:
+                            (params, state, opt_state, ema_params,
+                             met) = step(params, state, opt_state,
+                                         ema_params, sb, mb, sub)
+                        else:
+                            params, state, opt_state, met = step(
+                                params, state, opt_state, sb, mb, sub)
+                            if ema_decay:
+                                ema_params = T.ema_update(
+                                    ema_params, params, ema_decay)
                         step_metrics.append(met)
                 # One sync per epoch: fetch and average.
                 fetched = jax.device_get(step_metrics)

@@ -27,8 +27,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from deepcalcium_tpu.ops import losses as L
 from deepcalcium_tpu.parallel.mesh import replicated
 
-__all__ = ["make_optimizer", "make_train_step", "ReduceLROnPlateau",
-           "CosineDecay", "current_lr", "set_lr"]
+__all__ = ["make_optimizer", "make_train_step", "make_multi_step",
+           "ReduceLROnPlateau", "CosineDecay", "current_lr", "set_lr"]
 
 
 def make_optimizer(learning_rate: float = 2e-3):
@@ -143,6 +143,76 @@ def make_train_step(apply_fn, loss_fn, optimizer, metric_fns=None, mesh=None):
         in_shardings=(rep, rep, rep, bs, bs, rep),
         out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1, 2),
+    )
+
+
+def make_multi_step(apply_fn, loss_fn, optimizer, nsteps: int,
+                    metric_fns=None, ema_decay=None, mesh=None):
+    """K train steps in ONE device dispatch via ``lax.scan``.
+
+    Through a high-latency dispatch path (the tunnel here; any remote or
+    congested runtime generally) per-step dispatch dominates the 2-ms device
+    step (docs/VALIDATION.md: ~30x wall/device gap). Scanning K steps inside
+    one jit amortizes the dispatch over K batches fed as stacked
+    (K, B, ...) arrays.
+
+    # Arguments
+        nsteps: steps per dispatch (the scan length; static).
+        ema_decay: when set, a Polyak average rides in the scan carry so
+            per-step EMA semantics match the K=1 loop exactly.
+        (rest as in :func:`make_train_step`.)
+
+    # Returns
+        step(params, state, opt_state, ema_params, xs, ys, rng) ->
+            (params, state, opt_state, ema_params, metrics) where
+            xs/ys are (K, B, ...) stacks, metrics values are (K,) arrays,
+            and ema_params is passed/returned as-is when ema_decay is None.
+    """
+    metric_fns = metric_fns if metric_fns is not None else dict(L.NEURON_METRICS)
+
+    def one(carry, xs):
+        params, state, opt_state, ema = carry
+        x, y, rng = xs
+
+        def lfn(p):
+            probs, new_state = apply_fn(p, state, x, train=True, rng=rng)
+            loss = jnp.mean(loss_fn(y, probs))
+            return loss, (probs, new_state)
+
+        (loss, (probs, new_state)), grads = jax.value_and_grad(
+            lfn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema, new_params)
+        metrics = {k: fn(y, probs) for k, fn in metric_fns.items()}
+        metrics["loss"] = loss
+        metrics = {k: jnp.mean(v).astype(jnp.float32)
+                   for k, v in metrics.items()}
+        return (new_params, new_state, new_opt, ema), metrics
+
+    def multi(params, state, opt_state, ema_params, xs, ys, rng):
+        rngs = jax.random.split(rng, nsteps)
+        carry = (params, state, opt_state,
+                 ema_params if ema_decay is not None else params)
+        (params, state, opt_state, ema), metrics = jax.lax.scan(
+            one, carry, (xs, ys, rngs))
+        if ema_decay is None:
+            ema = ema_params
+        return params, state, opt_state, ema, metrics
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0, 1, 2, 3))
+    rep = replicated(mesh)
+    # Stacked batches: scan axis replicated, batch axis (dim 1) sharded.
+    bs = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi,
+        in_shardings=(rep, rep, rep, rep, bs, bs, rep),
+        out_shardings=(rep, rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2, 3),
     )
 
 
