@@ -45,15 +45,30 @@ def decode_chunk(paths, i_shape) -> np.ndarray:
 
 
 def write_series(dsf, s_paths, i_shape, chunk: int = 64) -> None:
-    """Populate series/{raw,mean,max} in an open HDF5 file from TIFF paths."""
+    """Populate series/{raw,mean,max} in an open HDF5 file from TIFF paths.
+
+    Per-phase throughput (decode / hdf5-write / reduce) is measured with a
+    ThroughputMeter and logged — ingest was the reference's end-to-end
+    bottleneck (~205 frames/s, BASELINE.md), so the split is first-class
+    observability here.
+    """
+    from deepcalcium_tpu.utils.profiling import ThroughputMeter
+
     t = len(s_paths)
     raw = dsf.create_dataset("series/raw", (t,) + tuple(i_shape), dtype="int16")
     summ = StreamingSummary(tuple(i_shape), dtype=np.int16)
+    meter = ThroughputMeter()
     for base in range(0, t, chunk):
-        frames = decode_chunk(s_paths[base : base + chunk], i_shape)
-        raw[base : base + frames.shape[0]] = frames
-        summ.update(frames)
+        n = len(s_paths[base : base + chunk])
+        with meter.track("decode", n):
+            frames = decode_chunk(s_paths[base : base + chunk], i_shape)
+        with meter.track("hdf5_write", n):
+            raw[base : base + frames.shape[0]] = frames
+        with meter.track("reduce", n):
+            summ.update(frames)
     mean, mx = summ.result()
     dsf.create_dataset("series/mean", data=mean.astype(np.float16),
                        dtype="float16")
     dsf.create_dataset("series/max", data=mx, dtype="int16")
+    logger.info("ingest throughput (frames/s): %s",
+                {k: round(v, 1) for k, v in meter.rates().items()})

@@ -484,9 +484,13 @@ class UNet2DSummary:
         names = [self.dataset_name_func(p) for p in dataset_paths]
         S = [self.series_summary_func(p) for p in dataset_paths]
 
+        from deepcalcium_tpu.utils.runtime import phase_timer
+
         predictor = predict_tta if augmentation else predict_batched
-        probs = predictor(fwd, params, state, S, window=window_shape,
-                          mesh=mesh, max_batch=max_batch)
+        nviews = len(S) * (8 if augmentation else 1)
+        with phase_timer("predict_forward", items=nviews, unit="views"):
+            probs = predictor(fwd, params, state, S, window=window_shape,
+                              mesh=mesh, max_batch=max_batch)
         Mp = [(p > threshold).astype(np.uint8) for p in probs]
 
         # The exact mask summary is a sequential host walk — compute it at

@@ -14,7 +14,6 @@ Differences from the reference (deliberate):
 
 import json
 import os
-from functools import lru_cache
 
 
 def base_dir() -> str:
@@ -55,10 +54,3 @@ def datasets_dir() -> str:
 
 def checkpoints_dir() -> str:
     return get_config()["checkpoints_dir"]
-
-
-@lru_cache(maxsize=None)
-def _warn_once(msg: str) -> None:  # pragma: no cover - logging helper
-    import logging
-
-    logging.getLogger(__name__).warning(msg)

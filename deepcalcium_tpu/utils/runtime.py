@@ -1,8 +1,9 @@
 """Runtime helpers: logger naming, timers, simple profiling hooks.
 
 Parity target: reference ``utils/runtime.py:4-5`` (``funcname``). The rebuild
-adds lightweight phase timers used by the ingest/eval pipelines to report
-frames/sec and px/sec throughput (first-class metrics per BASELINE.md).
+adds :func:`phase_timer`, used by the predict path to report views/sec
+(first-class metrics per BASELINE.md; per-phase accumulation lives in
+utils.profiling.ThroughputMeter, used by ingest).
 """
 
 import contextlib
@@ -35,16 +36,3 @@ def phase_timer(name: str, items: int | None = None, unit: str = "items"):
         logger.info("%s: %.3fs (%.1f %s/s)", name, dt, items / dt, unit)
     else:
         logger.info("%s: %.3fs", name, dt)
-
-
-class Stopwatch:
-    """Accumulating stopwatch for per-phase throughput accounting."""
-
-    def __init__(self):
-        self.totals: dict[str, float] = {}
-
-    @contextlib.contextmanager
-    def track(self, phase: str):
-        tic = time.perf_counter()
-        yield
-        self.totals[phase] = self.totals.get(phase, 0.0) + time.perf_counter() - tic

@@ -352,10 +352,23 @@ def test_predict_tiled_large_image(tiny_model):
     assert out.shape == (112, 160)
     assert np.isfinite(out).all() and 0 <= out.min() and out.max() <= 1
 
-    # Interior agreement with a single big-window pass (borders differ by
-    # design; compare away from tile seams loosely).
+    # Exact indexing oracle: with an identity "network" every tile carries
+    # the original pixel values, so tile + overlap-average must reconstruct
+    # the image EXACTLY — any tiling/blending offset error breaks this
+    # (the previous median-distance check against a real net would have
+    # passed for fairly wrong blends).
+    ident = lambda params, state, x: x
+    rec = predict_tiled(ident, params, state, big, window=(64, 64),
+                        overlap=16)
+    np.testing.assert_allclose(rec, big, atol=1e-6, rtol=0)
+    # ... including ragged tile edges (window does not divide the image).
+    rec2 = predict_tiled(ident, params, state, big, window=(64, 64),
+                         overlap=24)
+    np.testing.assert_allclose(rec2, big, atol=1e-6, rtol=0)
+
+    # And the real net agrees with a single big-window pass away from the
+    # borders (receptive-field effects live near tile seams).
     whole = predict_batched(fwd, params, state, [big], window=(112, 160))[0]
-    # predict_batched window must be multiple of 16 for the net: 112x160 ok.
     diff = np.abs(out - whole)
     assert np.median(diff) < 0.25
 

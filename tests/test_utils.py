@@ -7,7 +7,7 @@ import numpy as np
 
 from deepcalcium_tpu.utils.config import base_dir, get_config
 from deepcalcium_tpu.utils.profiling import ThroughputMeter, trace
-from deepcalcium_tpu.utils.runtime import Stopwatch, funcname, phase_timer
+from deepcalcium_tpu.utils.runtime import funcname, phase_timer
 from deepcalcium_tpu.utils.visualization import dataset_to_mp4
 
 
@@ -43,10 +43,6 @@ def test_runtime_helpers():
         return funcname()
 
     assert inner() == "inner"
-    sw = Stopwatch()
-    with sw.track("a"):
-        pass
-    assert "a" in sw.totals
     with phase_timer("t", items=5):
         pass
 
