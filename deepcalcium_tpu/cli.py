@@ -107,10 +107,10 @@ def cmd_predict(args):
 
 
 def cmd_spikes_train(args):
-    if args.arch == "glm":
+    if args.arch in ("glm", "stm"):
         from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
 
-        model = GLMSegmentation(cpdir=args.checkpoints_dir)
+        model = GLMSegmentation(cpdir=args.checkpoints_dir, arch=args.arch)
         mt, mv, path = model.fit(args.dataset_paths)
         print(f"best: {path} (val_F2={mv['F2']:.3f})")
         return
@@ -123,10 +123,10 @@ def cmd_spikes_train(args):
 
 
 def cmd_spikes_predict(args):
-    if args.arch == "glm":
+    if args.arch in ("glm", "stm"):
         from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
 
-        model = GLMSegmentation(cpdir=args.checkpoints_dir)
+        model = GLMSegmentation(cpdir=args.checkpoints_dir, arch=args.arch)
     else:
         from deepcalcium_tpu.models.unet_1d_segmentation import (
             UNet1DSegmentation)
@@ -202,7 +202,7 @@ def build_parser():
     p.add_argument("dataset_paths", nargs="+")
     p.add_argument("-c", "--checkpoints_dir")
     p.add_argument("-e", "--epochs", type=int, default=20)
-    p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm"])
+    p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm", "stm"])
     p.add_argument("--val_type", default="random_split",
                    choices=["random_split", "cross_validate"])
     p.set_defaults(func=cmd_spikes_train)
@@ -211,7 +211,7 @@ def build_parser():
     p.add_argument("dataset_paths", nargs="+")
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-c", "--checkpoints_dir")
-    p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm"])
+    p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm", "stm"])
     p.set_defaults(func=cmd_spikes_predict)
 
     p = sp.add_parser("ingest", help="Ingest a TIFF tree into contract HDF5.")

@@ -108,6 +108,35 @@ def test_glm_baseline_learns(tmp_path):
     assert preds[0].shape == (16, 512) and preds[0].dtype == np.uint8
 
 
+def test_stm_learns_and_predicts_rates(tmp_path):
+    """The STM (quadratic feature mixture + exponential nonlinearity +
+    Poisson likelihood — the c2s STM semantics) must learn the synthetic
+    spike kernel at least as well as chance, expose Poisson rates, and
+    refuse checkpoints of the wrong arch."""
+    from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
+
+    paths = [make_spikes_hdf5(str(tmp_path / f"s{i}.hdf5"), name=f"s.{i}",
+                              nb_traces=16, trace_len=512, seed=10 + i)
+             for i in range(2)]
+    model = GLMSegmentation(cpdir=str(tmp_path / "cps"), filter_len=21,
+                            arch="stm")
+    mt, mv, ckpt = model.fit(paths, nb_epochs=250, error_margin=4, seed=1)
+    assert np.isfinite(mv["F2"]) and mv["F2"] > 0.3, mv
+
+    preds, names = model.predict(paths, ckpt)
+    assert preds[0].shape == (16, 512) and preds[0].dtype == np.uint8
+    rates, _ = model.predict_rates(paths, ckpt)
+    assert rates[0].shape == (16, 512)
+    assert (rates[0] >= 0).all() and np.isfinite(rates[0]).all()
+
+    # Arch guard: a GLM wrapper must refuse the STM checkpoint.
+    glm = GLMSegmentation(cpdir=str(tmp_path / "cpg"), filter_len=21)
+    with pytest.raises(Exception):
+        glm.predict(paths, ckpt)
+    with pytest.raises(ValueError, match="stm"):
+        glm.predict_rates(paths, ckpt)
+
+
 def test_margin_metrics_helper():
     from deepcalcium_tpu.models.unet_1d_segmentation import margin_metrics
 
