@@ -29,10 +29,12 @@ def main():
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset_name", default="all_train")
+    ap.add_argument("--paths", nargs="*", default=None,
+                    help="local contract-HDF5 dataset paths (skips download)")
     ap.add_argument("--model", help="checkpoint for the throughput cell")
     args = ap.parse_args()
 
-    paths = nf_load_hdf5(args.dataset_name)
+    paths = args.paths or nf_load_hdf5(args.dataset_name)
 
     total_frames = total_neurons = 0
     pos_props = []
