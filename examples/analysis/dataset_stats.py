@@ -59,11 +59,12 @@ def main():
 
     if args.model:
         model = UNet2DSummary()
+        model.predict(paths, args.model, augmentation=True)  # compile warm-up
         tic = time.time()
         model.predict(paths, args.model, augmentation=True)
         dt = time.time() - tic
-        print(f"\nevaluate throughput (predict+TTA over cached HDF5): "
-              f"{total_frames / dt * 60:.0f} frames/min "
+        print(f"\nevaluate throughput (predict+TTA over cached HDF5, warm "
+              f"jit): {total_frames / dt * 60:.0f} frames/min "
               f"(reference dlmia cell: 8,057 frames/min incl. ingest)")
 
 
