@@ -121,7 +121,12 @@ def main():
         "mfu": round(tflops / PEAK_TFLOPS, 4),
         "flops_per_eval": flops,
         "eval_ms": round(dt * 1e3, 2),
+        # Transfer-inclusive rate + the measured link speed that bounds it:
+        # on this tunnel-attached chip the 1.5 GB upload dominates; a
+        # DMA-attached TPU VM (>10 GB/s) converges to the steady-state rate.
         "from_host_fps": round(t / dt_host, 1),
+        "host_link_MBps": round(
+            movie_host.nbytes / 2**20 / max(dt_host - dt, 1e-9), 1),
     }))
 
 
