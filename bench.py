@@ -67,13 +67,14 @@ def main():
 
     # The public library evaluator: summary -> z-norm -> pad -> 8x TTA
     # forward -> inverse/average -> threshold, one jitted graph, with the
-    # MXU-shaped inference rewrite (space-to-depth level 0, folded BN,
-    # sigmoid head — exact; models/unet2d_fast.py). Same graph
+    # MXU-shaped inference rewrite (width-only space-to-depth W4@L0/W2@L1
+    # with free seams, folded BN, sigmoid head — exact;
+    # models/unet2d_fast.py apply_fast_w). Same graph
     # UNet2DSummary.evaluate_movie(fast="auto") dispatches.
-    from deepcalcium_tpu.models.unet2d_fast import apply_fast
+    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
 
     evaluate = make_movie_evaluator(
-        functools.partial(apply_fast, compute_dtype=jnp.bfloat16),
+        functools.partial(apply_fast_w, compute_dtype=jnp.bfloat16),
         (t, h, w), window=(512, 512), tta=True)
 
     # Tiny on-device checksum whose HOST FETCH forces the device queue to

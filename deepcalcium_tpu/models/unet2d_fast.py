@@ -24,16 +24,21 @@ touching the weights or the training path:
    measured 0.1 TFLOP/s) becomes a single channel-reduction dot.
 
 `apply_fast(params, state, x)` matches `unet2d.apply(..., train=False)` to
-float tolerance (tests/test_unet2d_fast.py) and is what
-``make_movie_evaluator`` dispatches for inference on TPU-friendly shapes.
-Training keeps the reference-parity path in models/unet2d.py.
+float tolerance (tests/test_unet2d_fast.py). Training keeps the
+reference-parity path in models/unet2d.py.
+
+``apply_fast_w`` below supersedes it for dispatch: width-only packing whose
+seams are all layout-preserving reshapes (measured on v5e at (8, 512, 512):
+parity 25.4 ms, apply_fast 12.3 ms, apply_fast_w 9.9 ms). It is what
+``UNet2DSummary.evaluate_movie(fast="auto")`` and ``bench.py`` use.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["apply_fast", "fold_bn", "s2d_conv3_kernel"]
+__all__ = ["apply_fast", "apply_fast_w", "fold_bn", "s2d_conv3_kernel",
+           "wpack_conv3_kernel"]
 
 
 def fold_bn(conv_p, bn_p, bn_s):
@@ -241,3 +246,213 @@ def apply_fast(params, state, x, train: bool = False, rng=None,
     prob = jax.nn.sigmoid(logit)                     # (B, H/2, W/2, 4)
     prob = _inv_s2d(prob, 1)[..., 0]                 # -> (B, H, W)
     return prob, state
+
+
+# ---------------------------------------------------------------------------
+# W-packed variant: width-only space-to-depth with FREE seams
+# ---------------------------------------------------------------------------
+#
+# The 2x2 s2d above fixes level 0 but loses at level 1: its pack/unpack
+# seams are real minor-dim transposes (~60-180 GB/s, docs/VALIDATION.md),
+# and at C >= 64 the 4x FLOP inflation only breaks even with the 4x MXU
+# utilization gain. Packing along W ALONE dodges both problems:
+#
+# - W and C are ADJACENT axes of an NHWC tensor, so the factor-r pack
+#   (B, H, W, C) -> (B, H, W/r, rC) with (q, c)-major channels is a
+#   row-major-contiguous reshape. When rC lands exactly on the 128-lane
+#   tile (L0: 4x32, L1: 2x64) the physical layout is unchanged — the seam
+#   is free. The 2x2 scheme's seams shuffle lanes; these don't.
+# - The FLOP inflation is only r-fold, and r=2 suffices at level 1 to
+#   reach full lanes: 2x FLOPs at ~4x utilization is a genuine 2x win
+#   (measured: enc1b std 1.15 ms -> W2 0.5 ms class).
+# - Pools halve W, which exactly halves the pack factor at CONSTANT
+#   packed width: L0 (W/4 cols, r=4) -> L1 (W/4 cols, r=2) -> L2
+#   (W/4 cols, r=1). pool0/pool1 become a channel-group max (the W half)
+#   + a plain H-window reduction; no repacking ever happens.
+# - Transpose convs write (i, p, j, (q, o)) einsum outputs whose merges
+#   (i,p)->H (above the tiled dims) and (q,o)->lanes (an exact 128 block)
+#   are layout-preserving, killing the up1 interleave (measured 0.85 ms
+#   -> 0.11 ms class).
+# - Skip concats are replaced by SPLIT convs (conv(concat(a,b), K) ==
+#   conv(a, K_a) + conv(b, K_b)), so no concat tensor is materialized.
+#
+# Replaces the same reference path as apply_fast
+# (/root/reference/deepcalcium/models/unet_2d_summary.py:532-625 predict).
+
+
+def wpack_conv3_kernel(k, r):
+    """Width-only factor-``r`` space-to-depth transform of a stride-1 3x3
+    SAME conv kernel.
+
+    With Z[i, j, (q, c)] = X[i, r*j + q, c] (q-major), the conv Y = K * X
+    satisfies wpack(Y) = K' * Z where K' is the (3, 3, r*cin, r*cout)
+    kernel built here: output column r*j' + q' tap dv reads original
+    column r*j' + q' + dv - 1 = r*(j' + dj) + q with q = (q'+dv-1) mod r
+    and dj = (q'+dv-1-q)/r in {-1, 0, 1} for r >= 2.
+    """
+    kh, kw, cin, cout = k.shape
+    assert (kh, kw) == (3, 3) and r >= 2, (kh, kw, r)
+    out = jnp.zeros((3, 3, r * cin, r * cout), k.dtype)
+    for qq in range(r):
+        for dv in range(3):
+            t = qq + dv - 1
+            q = t % r
+            dj = (t - q) // r
+            out = out.at[:, dj + 1, q * cin:(q + 1) * cin,
+                         qq * cout:(qq + 1) * cout].set(k[:, dv])
+    return out
+
+
+def apply_fast_w(params, state, x, train: bool = False, rng=None,
+                 compute_dtype=jnp.bfloat16, **_ignored):
+    """W-packed inference forward, numerically equivalent to
+    ``unet2d.apply(..., train=False)``; requires H, W % 16 == 0 and the
+    'transpose' up mode. See the block comment above for the layout scheme.
+
+    # Returns
+        (probs (B, H, W) float32, state) — state passes through unchanged.
+    """
+    if train:
+        raise ValueError("apply_fast_w is inference-only; use unet2d.apply "
+                         "for training")
+    if "up0_tconv" not in params:
+        raise ValueError("apply_fast_w supports the 'transpose' up mode only "
+                         "(the published recipe); use unet2d.apply for "
+                         "upsampling-mode checkpoints")
+    b, h, w = x.shape
+    assert h % 16 == 0 and w % 16 == 0, (
+        f"apply_fast_w needs H, W % 16 == 0, got {(h, w)}; "
+        f"use unet2d.apply for odd shapes")
+    dt = compute_dtype or jnp.float32
+    from deepcalcium_tpu.models import blocks as B
+
+    wp = w // 4  # packed width, constant across levels 0..2
+
+    def fold(name):
+        return fold_bn(params[f"{name}_conv"], params[f"{name}_bn"],
+                       state[f"{name}_bn"])
+
+    def tilebias(v, r):
+        return jnp.tile(v, r)
+
+    def cbr(name, hh):
+        k, bb = fold(name)
+        return jax.nn.relu(_conv(hh, k, bb, dt))
+
+    def cbr_w(name, hh, r):
+        k, bb = fold(name)
+        return jax.nn.relu(_conv(hh, wpack_conv3_kernel(k, r),
+                                 tilebias(bb, r), dt))
+
+    def cbr_w_split(name, up_part, skip_part, r, c_up):
+        """conv(concat([up, skip])) as two convs summed — no concat tensor.
+        ``c_up`` is the UNPACKED channel count of the up part."""
+        k, bb = fold(name)
+        ka = wpack_conv3_kernel(k[:, :, :c_up, :], r)
+        kb = wpack_conv3_kernel(k[:, :, c_up:, :], r)
+        ya = jax.lax.conv_general_dilated(
+            up_part.astype(dt), ka.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        yb = jax.lax.conv_general_dilated(
+            skip_part.astype(dt), kb.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.nn.relu(ya + yb + tilebias(bb, r).astype(dt))
+
+    def fold_up(name):
+        """Folded-BN (momentum .5) k=2 s=2 tconv kernel/bias, HWOI."""
+        kt = params[f"{name}_tconv"]["kernel"]  # (2, 2, out, in)
+        scale = params[f"{name}_bn"]["gamma"] * jax.lax.rsqrt(
+            state[f"{name}_bn"]["var"] + B.BN_EPS)
+        bias = ((params[f"{name}_tconv"]["bias"]
+                 - state[f"{name}_bn"]["mean"]) * scale
+                + params[f"{name}_bn"]["beta"])
+        return kt * scale[None, None, :, None], bias
+
+    def up_std(name, hh):
+        k, bias = fold_up(name)
+        y = jnp.einsum("bijc,pqoc->bipjqo", hh.astype(dt), k.astype(dt))
+        bsz, hh_, _, ww_, _, o = y.shape
+        y = y.reshape(bsz, 2 * hh_, 2 * ww_, o) + bias.astype(dt)
+        return jax.nn.relu(y)
+
+    def up_to_w2(name, hh):
+        """k=2 s=2 tconv from a STANDARD tensor into W2-packed layout.
+        Output merges (i,p)->H (above the tiled dims) and (q,o)->lanes
+        (exactly one 128 block for o=64) — both layout-preserving."""
+        k, bias = fold_up(name)
+        y = jnp.einsum("bijc,pqoc->bipjqo", hh.astype(dt), k.astype(dt))
+        bsz, hh_, _, ww_, _, o = y.shape
+        y = y.reshape(bsz, 2 * hh_, ww_, 2 * o) + tilebias(bias, 2).astype(dt)
+        return jax.nn.relu(y)
+
+    def up_w2_to_w4(name, hh, cin):
+        """k=2 s=2 tconv from W2-packed input into W4-packed output.
+        Original column of input (i, j, (q1, c)) is 2j + q1; its two output
+        columns are 4j + 2*q1 + L, i.e. W4 group q = 2*q1 + L — the einsum
+        output order (b, i, p, j, q1, L, o) merges straight into it."""
+        k, bias = fold_up(name)
+        bsz, hh_, ww_, _ = hh.shape
+        x5 = hh.reshape(bsz, hh_, ww_, 2, cin)
+        y = jnp.einsum("bijqc,pLoc->bipjqLo", x5.astype(dt), k.astype(dt))
+        o = k.shape[2]
+        y = y.reshape(bsz, 2 * hh_, ww_, 4 * o) + tilebias(bias, 4).astype(dt)
+        return jax.nn.relu(y)
+
+    # The W4/W2 lane packing is exact for any nfb; it reaches FULL 128-lane
+    # tiles at the published nfb=32 (4x32 / 2x64).
+    nfb = params["enc0a_conv"]["kernel"].shape[-1]
+
+    # ---- level 0, W4-packed (free reshape from the raw image) ----
+    z = x[..., None].astype(dt).reshape(b, h, wp, 4)
+    k0, b0 = fold("enc0a")
+    z = jax.nn.relu(_conv(z, wpack_conv3_kernel(k0, 4), tilebias(b0, 4), dt))
+    z = cbr_w("enc0b", z, 4)
+    skip0 = z                                        # (B, H, W/4, 128)
+
+    # pool0: W-halves are adjacent (q_lo) channel groups; H by window.
+    m = z.reshape(b, h, wp, 2, 2, nfb).max(axis=4).reshape(b, h, wp, 2 * nfb)
+    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    # ---- level 1, W2-packed ----
+    hh = cbr_w("enc1a", hh, 2)
+    hh = cbr_w("enc1b", hh, 2)
+    skip1 = hh                                       # (B, H/2, W/4, 128)
+
+    # pool1: W half = q group max; H by window. Lands on STANDARD level 2.
+    m = jnp.maximum(hh[..., :2 * nfb], hh[..., 2 * nfb:])
+    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    # ---- levels 2..4: standard path with folded BN ----
+    hh = cbr("enc2b", cbr("enc2a", hh))
+    skip2 = hh
+    hh = B.maxpool2(hh)
+    hh = cbr("enc3b", cbr("enc3a", hh))
+    skip3 = hh
+    hh = B.maxpool2(hh)
+    hh = cbr("midb", cbr("mida", hh))
+    hh = up_std("up3", hh)
+    hh = cbr("dec3b", cbr("dec3a", jnp.concatenate([hh, skip3], axis=-1)))
+    hh = up_std("up2", hh)
+    hh = cbr("dec2b", cbr("dec2a", jnp.concatenate([hh, skip2], axis=-1)))
+
+    # ---- decoder level 1, W2-packed; split convs instead of concat ----
+    zu = up_to_w2("up1", hh)                         # (B, H/2, W/4, 128)
+    hh = cbr_w_split("dec1a", zu, skip1, 2, 2 * nfb)
+    hh = cbr_w("dec1b", hh, 2)
+
+    # ---- decoder level 0, W4-packed ----
+    zu = up_w2_to_w4("up0", hh, 2 * nfb)             # (B, H, W/4, 128)
+    z = cbr_w_split("dec0a", zu, skip0, 4, nfb)
+    z = cbr_w("dec0b", z, 4)
+
+    # ---- head: softmax([a, b])[1] == sigmoid(b - a), one dot ----
+    hk = params["head_conv"]["kernel"][0, 0]         # (nfb, 2)
+    wd = (hk[:, 1] - hk[:, 0]).astype(jnp.float32)
+    bd = (params["head_conv"]["bias"][1]
+          - params["head_conv"]["bias"][0]).astype(jnp.float32)
+    zz = z.reshape(b, h, wp, 4, nfb).astype(jnp.float32)
+    logit = jnp.einsum("bhwqc,c->bhwq", zz, wd) + bd
+    prob = jax.nn.sigmoid(logit)                     # (B, H, W/4, 4)
+    return prob.reshape(b, h, w), state

@@ -433,8 +433,9 @@ class UNet2DSummary:
             tta: run the fused 8-view test-time-augmentation batch.
             mesh: optional Mesh — time axis of the summary shards over it.
             fast: use the MXU-shaped inference rewrite
-                (models/unet2d_fast.py: space-to-depth level 0, folded BN,
-                sigmoid head — numerically equivalent, ~1.8x on v5e).
+                (models/unet2d_fast.py ``apply_fast_w``: width-only
+                space-to-depth W4@L0/W2@L1 with free seams, folded BN,
+                sigmoid head — numerically equivalent, ~2.6x on v5e).
                 "auto" = when the stock net is in use; True/False forces.
 
         # Returns
@@ -450,9 +451,9 @@ class UNet2DSummary:
         use_fast = (fast is True or
                     (fast == "auto" and self.net_apply_func is unet2d.apply))
         if use_fast:
-            from deepcalcium_tpu.models.unet2d_fast import apply_fast
+            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
 
-            net = apply_fast
+            net = apply_fast_w
         else:
             net = self.net_apply_func
         apply_fn = functools.partial(net, compute_dtype=self.compute_dtype)

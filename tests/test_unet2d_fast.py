@@ -14,8 +14,9 @@ import numpy as np
 import pytest
 
 from deepcalcium_tpu.models import unet2d
-from deepcalcium_tpu.models.unet2d_fast import (apply_fast, fold_bn,
-                                                s2d_conv3_kernel)
+from deepcalcium_tpu.models.unet2d_fast import (apply_fast, apply_fast_w,
+                                                fold_bn, s2d_conv3_kernel,
+                                                wpack_conv3_kernel)
 
 
 @pytest.fixture(scope="module")
@@ -29,13 +30,15 @@ def net():
     return params, state
 
 
+@pytest.mark.parametrize("impl", [apply_fast, apply_fast_w],
+                         ids=["s2d2x2", "wpack"])
 @pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
-def test_matches_parity_forward_f32(net, hw):
+def test_matches_parity_forward_f32(net, hw, impl):
     params, state = net
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2,) + hw), jnp.float32)
     ref, _ = unet2d.apply(params, state, x, train=False)
-    fast, _ = apply_fast(params, state, x, compute_dtype=None)
+    fast, _ = impl(params, state, x, compute_dtype=None)
     assert fast.shape == ref.shape
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                atol=2e-6, rtol=1e-5)
@@ -62,6 +65,37 @@ def test_s2d_kernel_exactness():
         0, 1, 3, 2, 4, 5).reshape(2, h, w, cout)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_wpack_kernel_exactness(r):
+    """The W-only transformed kernel reproduces a stride-1 3x3 SAME conv
+    exactly on the width-packed representation."""
+    rng = np.random.default_rng(4)
+    cin, cout, h, w = 3, 5, 10, 16
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                       dimension_numbers=dn)
+
+    z = x.reshape(2, h, w // r, r * cin)  # free reshape, (q, c)-major
+    zy = jax.lax.conv_general_dilated(z, wpack_conv3_kernel(k, r), (1, 1),
+                                      "SAME", dimension_numbers=dn)
+    y = zy.reshape(2, h, w, cout)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rejects_w_variant_guards(net):
+    params, state = net
+    x = jnp.zeros((1, 32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="inference-only"):
+        apply_fast_w(params, state, x, train=True)
+    pu, su = unet2d.init(jax.random.PRNGKey(0), nfb=4, up_mode="upsampling")
+    with pytest.raises(ValueError, match="transpose"):
+        apply_fast_w(pu, su, x)
 
 
 def test_fold_bn_exactness():
