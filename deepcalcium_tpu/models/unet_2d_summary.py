@@ -445,9 +445,6 @@ class UNet2DSummary:
             if model_path is None:
                 raise ValueError("need model_path or params+state")
             params, state = self._load_params(model_path)
-        if isinstance(movie, (str, os.PathLike)):
-            with h5py.File(movie, "r") as fp:
-                movie = fp["series/raw"][...]
         use_fast = (fast is True or
                     (fast == "auto" and self.net_apply_func is unet2d.apply))
         if use_fast:
@@ -456,7 +453,40 @@ class UNet2DSummary:
             net = apply_fast_w
         else:
             net = self.net_apply_func
-        apply_fn = functools.partial(net, compute_dtype=self.compute_dtype)
+        # Identity-stable partial: the evaluator builders are lru_cached on
+        # apply_fn, so a fresh partial per call would defeat the cache and
+        # recompile (~25 s through the remote-compile service).
+        cache = self.__dict__.setdefault("_apply_fn_cache", {})
+        key = (net, self.compute_dtype)
+        if key not in cache:
+            cache[key] = functools.partial(
+                net, compute_dtype=self.compute_dtype)
+        apply_fn = cache[key]
+
+        from deepcalcium_tpu.ops import summary as summary_ops
+        from deepcalcium_tpu.ops.summary import _device_bandwidth_mbps
+        from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
+
+        if isinstance(movie, (str, os.PathLike)):
+            # Stream straight off disk: chunked reads fold through
+            # StreamingSummary (host or device per the bandwidth probe) and
+            # only the mean image reaches the device — the raw movie never
+            # fully materializes in RAM.
+            with h5py.File(movie, "r") as fp:
+                mask, prob, _ = evaluate_movie_streaming(
+                    apply_fn, params, state, fp["series/raw"],
+                    window=window_shape, tta=tta, threshold=threshold,
+                    mesh=mesh)
+            return mask, prob
+        if isinstance(movie, np.ndarray) and (
+                _device_bandwidth_mbps()
+                < summary_ops.DEVICE_BACKEND_MIN_MBPS):
+            # Host array behind a thin link (tunneled remote chip): reduce
+            # on host, ship 1 MB instead of the whole movie.
+            mask, prob, _ = evaluate_movie_streaming(
+                apply_fn, params, state, movie, window=window_shape,
+                tta=tta, threshold=threshold, mesh=mesh)
+            return mask, prob
         evaluator = make_movie_evaluator(
             apply_fn, movie.shape, window=window_shape, tta=tta,
             threshold=threshold, mesh=mesh)

@@ -222,6 +222,14 @@ def movie_summary_fast(movie, chunk: int | None = None):
 # Host-streaming accumulator (ingest path)
 # ---------------------------------------------------------------------------
 
+# Minimum measured host->device bandwidth (MB/s) at which streaming raw
+# frames to the device beats reducing them on host. DMA-attached TPU VMs
+# measure >10 GB/s; tunneled remote chips measure 0.25-1 GB/s AND pay a
+# control-plane round trip per donated-buffer update, so the cutoff sits
+# well above the tunnel range.
+DEVICE_BACKEND_MIN_MBPS = 4000.0
+
+
 @functools.lru_cache(maxsize=1)
 def _device_bandwidth_mbps() -> float:
     """Measured host->device transfer bandwidth (MB/s), cached per process.
@@ -265,10 +273,15 @@ class StreamingSummary:
     def __init__(self, frame_shape, dtype=jnp.int16, backend: str = "auto"):
         assert backend in ("auto", "device", "host")
         if backend == "auto":
-            # DMA-attached accelerators measure multi-GB/s; tunneled remotes
-            # measure O(100 MB/s), where the chunk round-trips cost far more
-            # than the whole reduction does on host.
-            backend = "device" if _device_bandwidth_mbps() > 1000.0 else "host"
+            # DMA-attached accelerators measure >10 GB/s; tunneled remotes
+            # measure 0.25-1 GB/s. The threshold sits well above the tunnel
+            # range because raw link speed understates the tunnel's real
+            # cost: each donated-buffer update also ROUND-TRIPS the control
+            # plane (measured: bench from_host 294 fps with the device
+            # backend at a ~1 GB/s probe vs ~700 fps host on a 1-core
+            # host), while host NumPy reduces at memory bandwidth.
+            backend = ("device" if _device_bandwidth_mbps()
+                       > DEVICE_BACKEND_MIN_MBPS else "host")
         self.backend = backend
         npdtype = np.dtype(dtype)
         neg = (np.finfo(npdtype).min if np.issubdtype(npdtype, np.floating)

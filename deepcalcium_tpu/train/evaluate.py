@@ -14,6 +14,8 @@ Replaces the reference predict path (``unet_2d_summary.py:532-625``):
   TTA on 8 chips costs one forward's wall-clock.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,9 +24,47 @@ from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
 from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
 
 __all__ = ["reflect_pad_to", "predict_batched", "predict_tta",
-           "predict_tiled", "make_movie_evaluator"]
+           "predict_tiled", "make_movie_evaluator", "make_summary_evaluator",
+           "evaluate_movie_streaming"]
 
 
+def _image_eval_body(apply_fn, image_shape, window, tta, threshold):
+    """Shared device body: z-norm -> reflect-pad -> (8x TTA) forward ->
+    inverse/average -> threshold, from a MEAN image. Used by both the fused
+    movie evaluator and the summary-image evaluator."""
+    h, w = image_shape
+    hw, ww = window
+    if h > hw or w > ww:
+        raise ValueError(f"image {(h, w)} larger than window {window}")
+    if tta and hw != ww:
+        raise ValueError(f"TTA needs a square window (rot90 views); "
+                         f"got {window}")
+
+    def body(params, state, mean):
+        z = (mean - jnp.mean(mean)) / jnp.std(mean)
+        if (h, w) != (hw, ww):
+            z = jnp.pad(z, ((0, hw - h), (0, ww - w)), mode="reflect")
+        if tta:
+            views = tta_expand(z[None]).reshape(8, hw, ww)
+            # Materialize the views before the net: without this barrier XLA
+            # fuses the rot90/flip transposes into the forward's entry convs
+            # and the whole forward runs ~25% slower (measured 15.0 -> 12.2
+            # ms at (8, 512, 512) on v5e). A barrier on the OUTPUT probs is
+            # the opposite — it forces a bad layout and nearly doubles the
+            # graph — so only the views get one.
+            views = jax.lax.optimization_barrier(views)
+            probs, _ = apply_fn(params, state, views, train=False)
+            prob = tta_collapse(probs.reshape(8, 1, hw, ww))[0]
+        else:
+            probs, _ = apply_fn(params, state, z[None], train=False)
+            prob = probs[0]
+        prob = prob[:h, :w]
+        return (prob > threshold).astype(jnp.uint8), prob
+
+    return body
+
+
+@functools.lru_cache(maxsize=16)
 def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
                          threshold=0.5, mesh=None):
     """Build the fused end-to-end movie evaluator: ONE jitted graph running
@@ -54,30 +94,15 @@ def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
                                              movie_summary_sharded)
 
     t, h, w = movie_shape
-    hw, ww = window
-    if h > hw or w > ww:
-        raise ValueError(f"movie frames {(h, w)} larger than window {window}")
-    if tta and hw != ww:
-        raise ValueError(f"TTA needs a square window (rot90 views); "
-                         f"got {window}")
+    body = _image_eval_body(apply_fn, (h, w), window, tta, threshold)
 
     def evaluate(params, state, movie):
         if mesh is not None:
             mean, _ = movie_summary_sharded(movie, mesh)
         else:
             mean, _ = movie_summary_fast(movie)
-        z = (mean - jnp.mean(mean)) / jnp.std(mean)
-        if (h, w) != (hw, ww):
-            z = jnp.pad(z, ((0, hw - h), (0, ww - w)), mode="reflect")
-        if tta:
-            views = tta_expand(z[None]).reshape(8, hw, ww)
-            probs, _ = apply_fn(params, state, views, train=False)
-            prob = tta_collapse(probs.reshape(8, 1, hw, ww))[0]
-        else:
-            probs, _ = apply_fn(params, state, z[None], train=False)
-            prob = probs[0]
-        prob = prob[:h, :w]
-        return (prob > threshold).astype(jnp.uint8), prob, mean
+        mask, prob = body(params, state, mean)
+        return mask, prob, mean
 
     if mesh is None:
         return jax.jit(evaluate)
@@ -92,6 +117,73 @@ def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
     tshard = NamedSharding(mesh, P("data" if even else None, None, None))
     return jax.jit(evaluate, in_shardings=(rep, rep, tshard),
                    out_shardings=(rep, rep, rep))
+
+
+@functools.lru_cache(maxsize=16)
+def make_summary_evaluator(apply_fn, image_shape, window=(512, 512),
+                           tta=True, threshold=0.5, mesh=None):
+    """Build the jitted evaluator from a MEAN summary image (instead of a
+    resident movie): z-norm -> pad -> (8x TTA) forward -> threshold.
+
+    Cached on all arguments (so repeated calls reuse the compiled graph —
+    a fresh jit per call would recompile, ~25 s through a remote-compile
+    service): pass an identity-STABLE ``apply_fn`` (build the partial once,
+    not inline per call).
+
+    This is the device half of the streaming evaluate path: when the movie
+    lives on host behind a thin link, the summary reduces on host
+    (:class:`~deepcalcium_tpu.ops.summary.StreamingSummary`) and only the
+    O(1 MB) mean image crosses to the device.
+
+    # Returns
+        evaluate(params, state, mean (H, W) float32) ->
+        (mask uint8 (H, W), prob float32 (H, W))
+    """
+    body = _image_eval_body(apply_fn, image_shape, window, tta, threshold)
+    if mesh is None:
+        return jax.jit(body)
+    from deepcalcium_tpu.parallel.mesh import replicated
+
+    rep = replicated(mesh)
+    return jax.jit(body, in_shardings=(rep, rep, rep),
+                   out_shardings=(rep, rep))
+
+
+def evaluate_movie_streaming(apply_fn, params, state, movie,
+                             window=(512, 512), tta=True, threshold=0.5,
+                             mesh=None, chunk=256, backend="auto"):
+    """Evaluate a HOST-resident movie (numpy array or any (T, H, W)
+    sliceable, e.g. an open h5py dataset) without shipping the raw frames
+    to the device.
+
+    Frames fold through :class:`StreamingSummary` in ``chunk``-frame slabs
+    (host NumPy accumulation when the measured host->device link is thin,
+    donated device updates when DMA-attached), then the O(1 MB) mean image
+    runs the fused z-norm -> TTA -> forward -> threshold graph on device.
+
+    Through a tunneled remote chip this turns the raw-movie upload
+    (~6 s for 1.5 GB at ~250 MB/s) into a host-bandwidth reduction plus a
+    single-image transfer. On a DMA-attached TPU VM, prefer
+    :func:`make_movie_evaluator` with the movie on device.
+
+    # Returns
+        (mask uint8 (H, W), prob float32 (H, W), mean float32 (H, W))
+        as host arrays.
+    """
+    from deepcalcium_tpu.ops.summary import StreamingSummary
+
+    t = movie.shape[0]
+    h, w = movie.shape[1:]
+    dtype = np.asarray(movie[0:1]).dtype
+    ss = StreamingSummary((h, w), dtype=dtype, backend=backend)
+    for i in range(0, t, chunk):
+        ss.update(np.asarray(movie[i : i + chunk]))
+    mean, _ = ss.result()
+
+    ev = make_summary_evaluator(apply_fn, (h, w), window=window, tta=tta,
+                                threshold=threshold, mesh=mesh)
+    mask, prob = ev(params, state, jnp.asarray(mean))
+    return np.asarray(mask), np.asarray(prob), mean
 
 
 def reflect_pad_to(img: np.ndarray, hw: int, ww: int) -> np.ndarray:

@@ -86,6 +86,49 @@ def test_unet2dsummary_evaluate_movie_from_hdf5(tmp_path, tiny_net):
         model.evaluate_movie(ds)
 
 
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_streaming_matches_fused(tiny_net, movie, backend):
+    """evaluate_movie_streaming (chunked host summary + eval-from-image
+    graph) agrees with the fused single-dispatch evaluator."""
+    from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
+
+    params, state = tiny_net
+    apply_fn = functools.partial(unet2d.apply, compute_dtype=None)
+    evaluate = make_movie_evaluator(apply_fn, movie.shape, window=(48, 48),
+                                    tta=True, threshold=0.5)
+    mask_f, prob_f, mean_f = jax.tree.map(np.asarray,
+                                          evaluate(params, state, movie))
+    mask_s, prob_s, mean_s = evaluate_movie_streaming(
+        apply_fn, params, state, movie, window=(48, 48), tta=True,
+        chunk=7, backend=backend)  # ragged chunking on purpose
+    np.testing.assert_allclose(mean_s, mean_f, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(prob_s, prob_f, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(mask_s, mask_f)
+
+
+def test_streaming_accepts_h5_dataset(tmp_path, tiny_net):
+    """An open h5py dataset streams chunk-wise without full materialization
+    (the UNet2DSummary.evaluate_movie path for HDF5 inputs)."""
+    import h5py
+
+    from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
+
+    params, state = tiny_net
+    rng = np.random.default_rng(2)
+    mv = rng.integers(0, 1200, (15, 48, 48)).astype(np.int16)
+    p = str(tmp_path / "m.h5")
+    with h5py.File(p, "w") as fp:
+        fp.create_dataset("series/raw", data=mv)
+    apply_fn = functools.partial(unet2d.apply, compute_dtype=None)
+    with h5py.File(p, "r") as fp:
+        mask, prob, mean = evaluate_movie_streaming(
+            apply_fn, params, state, fp["series/raw"], window=(48, 48),
+            chunk=4, backend="host")
+    np.testing.assert_allclose(mean, mv.astype(np.float32).mean(0),
+                               rtol=1e-5, atol=1e-4)
+    assert mask.shape == (48, 48) and prob.shape == (48, 48)
+
+
 def test_forward_flops_matches_xla_cost_analysis(tiny_net):
     """Analytic FLOPs (bench MFU accounting) vs XLA's own cost model on the
     compiled forward — agreement within 2% says neither is fantasy."""
