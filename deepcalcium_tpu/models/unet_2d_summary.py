@@ -446,7 +446,9 @@ class UNet2DSummary:
                 raise ValueError("need model_path or params+state")
             params, state = self._load_params(model_path)
         use_fast = (fast is True or
-                    (fast == "auto" and self.net_apply_func is unet2d.apply))
+                    (fast == "auto" and self.net_apply_func is unet2d.apply
+                     and "up0_tconv" in params
+                     and all(s % 16 == 0 for s in window_shape)))
         if use_fast:
             from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
 
@@ -495,7 +497,7 @@ class UNet2DSummary:
 
     def predict(self, dataset_paths, model_path, window_shape=(512, 512),
                 print_scores=False, save=False, augmentation=False,
-                threshold=0.5, mesh=None, max_batch=None):
+                threshold=0.5, mesh=None, max_batch=None, fast="auto"):
         """Predict masks; returns (Mp, names) like the reference
         (``unet_2d_summary.py:532-625``). ``augmentation=True`` runs the
         fused 8x TTA batch.
@@ -503,13 +505,26 @@ class UNet2DSummary:
         ``model_path`` may be a native ``.ckpt`` OR a Keras ``.hdf5``/``.h5``
         checkpoint (e.g. the reference's released ``unet2ds_model.hdf5``) —
         Keras files are imported through interop.keras_import transparently.
+
+        ``fast``: dispatch the MXU-shaped inference rewrite
+        (``models/unet2d_fast.apply_fast_w`` — numerically equivalent,
+        ~2.6x on v5e) when the stock net is in use; True/False forces.
         """
         logger = logging.getLogger(funcname())
         params, state = self._load_params(model_path)
         logger.info("Loaded model from %s.", model_path)
 
-        apply_fn = functools.partial(
-            self.net_apply_func, compute_dtype=self.compute_dtype)
+        use_fast = (fast is True or
+                    (fast == "auto" and self.net_apply_func is unet2d.apply
+                     and "up0_tconv" in params
+                     and all(s % 16 == 0 for s in window_shape)))
+        if use_fast:
+            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
+
+            net = apply_fast_w
+        else:
+            net = self.net_apply_func
+        apply_fn = functools.partial(net, compute_dtype=self.compute_dtype)
         fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
         names = [self.dataset_name_func(p) for p in dataset_paths]

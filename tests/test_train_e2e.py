@@ -176,6 +176,30 @@ def test_fit_predict_submit(fixture_paths, tmp_path, tiny_model):
         assert "coordinates" in s["regions"][0]
 
 
+def test_predict_fast_matches_slow(fixture_paths, tmp_path):
+    """predict(fast=True) — the W-packed inference rewrite — returns the
+    same masks as the parity forward on a stock net."""
+    import functools
+
+    import jax
+
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.train.checkpoints import save_checkpoint
+
+    init_fn = functools.partial(unet2d.init, nfb=4)
+    params, state = init_fn(jax.random.PRNGKey(5))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params, state)
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn)
+    for aug in (False, True):
+        mp_fast, _ = model.predict(fixture_paths, ckpt, window_shape=(96, 96),
+                                   augmentation=aug, fast=True)
+        mp_slow, _ = model.predict(fixture_paths, ckpt, window_shape=(96, 96),
+                                   augmentation=aug, fast=False)
+        for a, b in zip(mp_fast, mp_slow):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_fit_resume_from_checkpoint(fixture_paths, tmp_path, tiny_model):
     """model_path + proceed=True must restore params and optimizer state."""
     init_fn, apply_fn = tiny_model
