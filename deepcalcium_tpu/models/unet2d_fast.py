@@ -37,8 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["apply_fast", "apply_fast_w", "fold_bn", "s2d_conv3_kernel",
-           "wpack_conv3_kernel"]
+__all__ = ["apply_fast", "apply_fast_w", "apply_fast_w_train", "fold_bn",
+           "s2d_conv3_kernel", "wpack_conv3_kernel"]
 
 
 def fold_bn(conv_p, bn_p, bn_s):
@@ -482,3 +482,188 @@ def apply_fast_w(params, state, x, train: bool = False, rng=None,
     logit = jnp.einsum("bhwqc,c->bhwq", zz, wd) + bd
     prob = jax.nn.sigmoid(logit)                     # (B, H, W/4, 4)
     return prob.reshape(b, h, w), state
+
+
+def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
+                       drp: float = 0.25, compute_dtype=jnp.bfloat16,
+                       remat: bool = False, **_ignored):
+    """W-packed TRAINING forward, numerically equivalent to
+    ``unet2d.apply(..., train=True)`` up to float reassociation and dropout
+    randomness (exactly equivalent at drp=0, including the BN state
+    updates — tests/test_unet2d_fast.py).
+
+    Same layout scheme as :func:`apply_fast_w` (W4@L0 / W2@L1, free seams,
+    split convs) but BatchNorm stays LIVE: batch statistics are computed
+    per ORIGINAL channel by reducing over the packed (q, c) groups as well
+    as (B, H, Wp) — the identical sum over identical elements, so training
+    dynamics match the parity path. Dropout masks are drawn directly in
+    packed layout (the reshape is bijective, so the distribution over
+    pixels is identical to the standard draw). The mid-block batch-fold and
+    BN folding are inference-only tricks and are NOT used here.
+
+    Signature-compatible with ``unet2d.apply`` so ``UNet2DSummary.fit``
+    can dispatch it for the gradient step (``fast_train='auto'``);
+    ``train=False`` delegates to :func:`apply_fast_w`.
+    """
+    if not train:
+        return apply_fast_w(params, state, x,
+                            compute_dtype=compute_dtype)
+    if rng is None:
+        raise ValueError("training forward requires rng for dropout")
+    if "up0_tconv" not in params:
+        raise ValueError("apply_fast_w_train supports the 'transpose' up "
+                         "mode only; use unet2d.apply otherwise")
+    b, h, w = x.shape
+    assert h % 16 == 0 and w % 16 == 0, (
+        f"apply_fast_w_train needs H, W % 16 == 0, got {(h, w)}")
+    dt = compute_dtype or x.dtype
+    from deepcalcium_tpu.models import blocks as B
+
+    wp = w // 4
+    new_state = dict(state)
+    rngs = iter(jax.random.split(rng, 16))
+
+    def bn_grouped(y, p_bn, s_bn, momentum, r):
+        """Keras-semantics BN with per-ORIGINAL-channel statistics on an
+        (…, r*c) packed tensor ((q, c)-major)."""
+        c = y.shape[-1] // r
+        y5 = y.astype(jnp.float32).reshape(*y.shape[:-1], r, c)
+        mean = jnp.mean(y5, axis=tuple(range(y5.ndim - 1)))
+        var = jnp.var(y5, axis=tuple(range(y5.ndim - 1)))
+        new_s = {"mean": momentum * s_bn["mean"] + (1.0 - momentum) * mean,
+                 "var": momentum * s_bn["var"] + (1.0 - momentum) * var}
+        inv = jax.lax.rsqrt(var + B.BN_EPS) * p_bn["gamma"]
+        yn = ((y - jnp.tile(mean, r).astype(y.dtype))
+              * jnp.tile(inv, r).astype(y.dtype)
+              + jnp.tile(p_bn["beta"], r).astype(y.dtype))
+        return yn, new_s
+
+    def _cbr_w_pure(p_conv, p_bn, s_bn, hh, r):
+        k = wpack_conv3_kernel(p_conv["kernel"], r)
+        y = _conv(hh, k, jnp.tile(p_conv["bias"], r), dt)
+        y, s = bn_grouped(y, p_bn, s_bn, 0.99, r)
+        return jax.nn.relu(y), s
+
+    cbr_w_fn = jax.checkpoint(_cbr_w_pure, static_argnums=(4,)) if remat \
+        else _cbr_w_pure
+
+    def cbr_w(name, hh, r):
+        y, s = cbr_w_fn(params[f"{name}_conv"], params[f"{name}_bn"],
+                        state[f"{name}_bn"], hh, r)
+        new_state[f"{name}_bn"] = s
+        return y
+
+    def _cbr_pure(p_conv, p_bn, s_bn, hh):
+        y = B.conv2d(hh, p_conv, dtype=dt)
+        y, s = B.batch_norm(y, p_bn, s_bn, True, 0.99)
+        return jax.nn.relu(y), s
+
+    cbr_fn = jax.checkpoint(_cbr_pure) if remat else _cbr_pure
+
+    def cbr(name, hh):
+        y, s = cbr_fn(params[f"{name}_conv"], params[f"{name}_bn"],
+                      state[f"{name}_bn"], hh)
+        new_state[f"{name}_bn"] = s
+        return y
+
+    def cbr_w_split(name, up_part, skip_part, r, c_up):
+        """conv(concat([up, skip])) as two packed convs summed, then BN."""
+        kk = params[f"{name}_conv"]["kernel"]
+        ka = wpack_conv3_kernel(kk[:, :, :c_up, :], r)
+        kb = wpack_conv3_kernel(kk[:, :, c_up:, :], r)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = jax.lax.conv_general_dilated(
+            up_part.astype(dt), ka.astype(dt), (1, 1), "SAME",
+            dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(
+            skip_part.astype(dt), kb.astype(dt), (1, 1), "SAME",
+            dimension_numbers=dn)
+        y = ya + yb + jnp.tile(params[f"{name}_conv"]["bias"], r).astype(dt)
+        y, s = bn_grouped(y, params[f"{name}_bn"], state[f"{name}_bn"],
+                          0.99, r)
+        new_state[f"{name}_bn"] = s
+        return jax.nn.relu(y)
+
+    def up_std(name, hh):
+        y = B.tconv2x2(hh, params[f"{name}_tconv"], dtype=dt)
+        y, s = B.batch_norm(y, params[f"{name}_bn"], state[f"{name}_bn"],
+                            True, 0.5)
+        new_state[f"{name}_bn"] = s
+        return jax.nn.relu(y)
+
+    def up_to_w2(name, hh):
+        kt = params[f"{name}_tconv"]["kernel"]  # (2, 2, out, in)
+        y = jnp.einsum("bijc,pqoc->bipjqo", hh.astype(dt), kt.astype(dt))
+        bsz, hh_, _, ww_, _, o = y.shape
+        y = (y.reshape(bsz, 2 * hh_, ww_, 2 * o)
+             + jnp.tile(params[f"{name}_tconv"]["bias"], 2).astype(dt))
+        y, s = bn_grouped(y, params[f"{name}_bn"], state[f"{name}_bn"],
+                          0.5, 2)
+        new_state[f"{name}_bn"] = s
+        return jax.nn.relu(y)
+
+    def up_w2_to_w4(name, hh, cin):
+        kt = params[f"{name}_tconv"]["kernel"]
+        bsz, hh_, ww_, _ = hh.shape
+        x5 = hh.reshape(bsz, hh_, ww_, 2, cin)
+        y = jnp.einsum("bijqc,pLoc->bipjqLo", x5.astype(dt), kt.astype(dt))
+        o = kt.shape[2]
+        y = (y.reshape(bsz, 2 * hh_, ww_, 4 * o)
+             + jnp.tile(params[f"{name}_tconv"]["bias"], 4).astype(dt))
+        y, s = bn_grouped(y, params[f"{name}_bn"], state[f"{name}_bn"],
+                          0.5, 4)
+        new_state[f"{name}_bn"] = s
+        return jax.nn.relu(y)
+
+    def drop(hh, rate):
+        return B.dropout(hh, rate, True, next(rngs))
+
+    nfb = params["enc0a_conv"]["kernel"].shape[-1]
+
+    # ---- level 0, W4 ----
+    z = x.astype(dt).reshape(b, h, wp, 4)
+    z = cbr_w("enc0b", cbr_w("enc0a", z, 4), 4)
+    skip0 = z
+    m = z.reshape(b, h, wp, 2, 2, nfb).max(axis=4).reshape(b, h, wp, 2 * nfb)
+    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    # ---- level 1, W2 ----
+    hh = drop(cbr_w("enc1b", cbr_w("enc1a", hh, 2), 2), drp)
+    skip1 = hh
+    m = jnp.maximum(hh[..., :2 * nfb], hh[..., 2 * nfb:])
+    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    # ---- levels 2..4, standard ----
+    hh = drop(cbr("enc2b", cbr("enc2a", hh)), drp * 2)
+    skip2 = hh
+    hh = B.maxpool2(hh)
+    hh = drop(cbr("enc3b", cbr("enc3a", hh)), drp * 2)
+    skip3 = hh
+    hh = B.maxpool2(hh)
+    hh = cbr("midb", cbr("mida", hh))
+    hh = drop(up_std("up3", hh), drp * 2)
+    hh = cbr("dec3b", cbr("dec3a", jnp.concatenate([hh, skip3], axis=-1)))
+    hh = drop(up_std("up2", hh), drp * 2)
+    hh = cbr("dec2b", cbr("dec2a", jnp.concatenate([hh, skip2], axis=-1)))
+
+    # ---- decoder level 1, W2 ----
+    zu = drop(up_to_w2("up1", hh), drp * 2)
+    hh = cbr_w_split("dec1a", zu, skip1, 2, 2 * nfb)
+    hh = cbr_w("dec1b", hh, 2)
+
+    # ---- decoder level 0, W4 ----
+    zu = drop(up_w2_to_w4("up0", hh, 2 * nfb), drp)
+    z = cbr_w_split("dec0a", zu, skip0, 4, nfb)
+    z = cbr_w("dec0b", z, 4)
+
+    # ---- head ----
+    hk = params["head_conv"]["kernel"][0, 0]
+    wd = (hk[:, 1] - hk[:, 0]).astype(jnp.float32)
+    bd = (params["head_conv"]["bias"][1]
+          - params["head_conv"]["bias"][0]).astype(jnp.float32)
+    zz = z.reshape(b, h, wp, 4, nfb).astype(jnp.float32)
+    logit = jnp.einsum("bhwqc,c->bhwq", zz, wd) + bd
+    prob = jax.nn.sigmoid(logit)
+    return prob.reshape(b, h, w), new_state

@@ -101,7 +101,7 @@ class UNet2DSummary:
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=False, nb_max_augment=15,
             epoch_callbacks=(), profile_dir=None, ema_decay=None,
-            lr_schedule="plateau", steps_per_dispatch=1):
+            lr_schedule="plateau", steps_per_dispatch=1, fast_train="auto"):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -134,6 +134,12 @@ class UNet2DSummary:
         ``nb_steps_trn``. Semantically identical to K=1 including per-step
         EMA; only the host-visible metric granularity changes (still
         per-step).
+
+        ``fast_train``: run the gradient step through the W-packed forward
+        (``models/unet2d_fast.apply_fast_w_train`` — thin-channel convs at
+        full MXU utilization; same training dynamics up to float
+        reassociation and dropout randomness). "auto" = when the stock net
+        and %16 window shapes are in use; True/False forces.
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
@@ -192,7 +198,19 @@ class UNet2DSummary:
         apply_kw = {"compute_dtype": self.compute_dtype}
         if self.remat:
             apply_kw["remat"] = True
-        apply_fn = functools.partial(self.net_apply_func, **apply_kw)
+        use_fast_trn = (fast_train is True or
+                        (fast_train == "auto"
+                         and self.net_apply_func is unet2d.apply
+                         and "up0_tconv" in params
+                         and all(s % 16 == 0 for s in shape_trn)
+                         and all(s % 16 == 0 for s in shape_val)))
+        if use_fast_trn:
+            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+
+            net = apply_fast_w_train
+        else:
+            net = self.net_apply_func
+        apply_fn = functools.partial(net, **apply_kw)
         kdisp = int(steps_per_dispatch)
         assert kdisp >= 1 and nb_steps_trn % kdisp == 0, (
             f"steps_per_dispatch={kdisp} must divide nb_steps_trn="

@@ -176,6 +176,23 @@ def test_fit_predict_submit(fixture_paths, tmp_path, tiny_model):
         assert "coordinates" in s["regions"][0]
 
 
+def test_fit_fast_train(fixture_paths, tmp_path):
+    """fit(fast_train=True) — the W-packed gradient step — trains the stock
+    net end-to-end: finite falling loss, checkpoints written."""
+    import functools
+
+    from deepcalcium_tpu.models import unet2d
+
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"),
+                          net_init_func=functools.partial(unet2d.init, nfb=4))
+    history, best = model.fit(
+        fixture_paths, shape_trn=(48, 48), shape_val=(96, 96),
+        batch_size_trn=8, nb_steps_trn=6, nb_epochs=1, seed=3,
+        fast_train=True)
+    assert best is not None and os.path.exists(best)
+    assert np.isfinite(history["loss"]).all()
+
+
 def test_predict_fast_matches_slow(fixture_paths, tmp_path):
     """predict(fast=True) — the W-packed inference rewrite — returns the
     same masks as the parity forward on a stock net."""

@@ -15,7 +15,8 @@ import pytest
 
 from deepcalcium_tpu.models import unet2d
 from deepcalcium_tpu.models.unet2d_fast import (apply_fast, apply_fast_w,
-                                                fold_bn, s2d_conv3_kernel,
+                                                apply_fast_w_train, fold_bn,
+                                                s2d_conv3_kernel,
                                                 wpack_conv3_kernel)
 
 
@@ -86,6 +87,63 @@ def test_wpack_kernel_exactness(r):
     y = zy.reshape(2, h, w, cout)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_train_forward_matches_parity(net):
+    """The W-packed TRAINING forward (live grouped BN) matches
+    unet2d.apply(train=True) at drp=0: probs, BN state updates, AND
+    parameter gradients."""
+    params, state = net
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 48, 80)), jnp.float32)
+    r = jax.random.PRNGKey(42)
+
+    ref, st_ref = unet2d.apply(params, state, x, train=True, rng=r, drp=0.0)
+    fw, st_fw = apply_fast_w_train(params, state, x, train=True, rng=r,
+                                   drp=0.0, compute_dtype=None)
+    np.testing.assert_allclose(np.asarray(fw), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    for name in st_ref:
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(st_fw[name][k]),
+                                       np.asarray(st_ref[name][k]),
+                                       atol=1e-5, rtol=1e-4)
+
+    def loss_a(p):
+        return jnp.mean((unet2d.apply(p, state, x, train=True, rng=r,
+                                      drp=0.0)[0] - 0.3) ** 2)
+
+    def loss_b(p):
+        return jnp.mean((apply_fast_w_train(p, state, x, train=True, rng=r,
+                                            drp=0.0,
+                                            compute_dtype=None)[0]
+                         - 0.3) ** 2)
+
+    ga = jax.grad(loss_a)(params)
+    gb = jax.grad(loss_b)(params)
+    for name in ga:
+        for k in ga[name]:
+            np.testing.assert_allclose(np.asarray(gb[name][k]),
+                                       np.asarray(ga[name][k]),
+                                       atol=1e-5, rtol=1e-3)
+
+
+def test_train_forward_dropout_and_delegation(net):
+    """drp>0 runs finite; train=False delegates to the folded inference
+    path; missing rng is rejected."""
+    params, state = net
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32)
+    p, st = apply_fast_w_train(params, state, x, train=True,
+                               rng=jax.random.PRNGKey(1), drp=0.5,
+                               compute_dtype=None)
+    assert np.isfinite(np.asarray(p)).all()
+    p2, _ = apply_fast_w_train(params, state, x, train=False,
+                               compute_dtype=None)
+    ref, _ = apply_fast_w(params, state, x, compute_dtype=None)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(ref))
+    with pytest.raises(ValueError, match="rng"):
+        apply_fast_w_train(params, state, x, train=True)
 
 
 def test_rejects_w_variant_guards(net):
