@@ -112,10 +112,12 @@ def main():
     movie_host = np.asarray(movie_dev)
     # Warm the eval-from-summary jit + first-run executable load so the
     # steady-state number measures the pipeline, not the tunnel's one-off
-    # costs (~23 s first-run load). Same fast_fn identity => the cached
-    # evaluator is reused by the timed call.
-    evaluate_movie_streaming(fast_fn, params, state, movie_host[:64],
-                             window=(512, 512), tta=True)
+    # costs (~23 s first-run load — which lands on the SECOND dispatch
+    # through the tunnel, hence TWO warm-up calls). Same fast_fn identity
+    # => the cached evaluator is reused by the timed call.
+    for _ in range(2):
+        evaluate_movie_streaming(fast_fn, params, state, movie_host[:64],
+                                 window=(512, 512), tta=True)
     tic = time.perf_counter()
     mask, _, _ = evaluate_movie_streaming(fast_fn, params, state, movie_host,
                                           window=(512, 512), tta=True)

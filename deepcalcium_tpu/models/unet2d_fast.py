@@ -566,11 +566,10 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
         new_state[f"{name}_bn"] = s
         return y
 
-    def cbr_w_split(name, up_part, skip_part, r, c_up):
+    def _split_pure(p_conv, p_bn, s_bn, up_part, skip_part, r, c_up):
         """conv(concat([up, skip])) as two packed convs summed, then BN."""
-        kk = params[f"{name}_conv"]["kernel"]
-        ka = wpack_conv3_kernel(kk[:, :, :c_up, :], r)
-        kb = wpack_conv3_kernel(kk[:, :, c_up:, :], r)
+        ka = wpack_conv3_kernel(p_conv["kernel"][:, :, :c_up, :], r)
+        kb = wpack_conv3_kernel(p_conv["kernel"][:, :, c_up:, :], r)
         dn = ("NHWC", "HWIO", "NHWC")
         ya = jax.lax.conv_general_dilated(
             up_part.astype(dt), ka.astype(dt), (1, 1), "SAME",
@@ -578,42 +577,62 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
         yb = jax.lax.conv_general_dilated(
             skip_part.astype(dt), kb.astype(dt), (1, 1), "SAME",
             dimension_numbers=dn)
-        y = ya + yb + jnp.tile(params[f"{name}_conv"]["bias"], r).astype(dt)
-        y, s = bn_grouped(y, params[f"{name}_bn"], state[f"{name}_bn"],
-                          0.99, r)
+        y = ya + yb + jnp.tile(p_conv["bias"], r).astype(dt)
+        y, s = bn_grouped(y, p_bn, s_bn, 0.99, r)
+        return jax.nn.relu(y), s
+
+    split_fn = jax.checkpoint(_split_pure, static_argnums=(5, 6)) if remat \
+        else _split_pure
+
+    def cbr_w_split(name, up_part, skip_part, r, c_up):
+        y, s = split_fn(params[f"{name}_conv"], params[f"{name}_bn"],
+                        state[f"{name}_bn"], up_part, skip_part, r, c_up)
         new_state[f"{name}_bn"] = s
-        return jax.nn.relu(y)
+        return y
+
+    def _up_pure(p_tconv, p_bn, s_bn, hh, mode, cin):
+        """k=2 s=2 tconv + BN(momentum .5) + relu; ``mode``: 'std' emits
+        the standard layout, 'w2'/'w4' the packed ones (free merges)."""
+        kt = p_tconv["kernel"]  # (2, 2, out, in)
+        if mode == "std":
+            y = B.tconv2x2(hh, p_tconv, dtype=dt)
+            y, s = B.batch_norm(y, p_bn, s_bn, True, 0.5)
+            return jax.nn.relu(y), s
+        if mode == "w2":
+            y = jnp.einsum("bijc,pqoc->bipjqo", hh.astype(dt), kt.astype(dt))
+            bsz, hh_, _, ww_, _, o = y.shape
+            y = (y.reshape(bsz, 2 * hh_, ww_, 2 * o)
+                 + jnp.tile(p_tconv["bias"], 2).astype(dt))
+            r = 2
+        else:  # w4 from a W2-packed input
+            bsz, hh_, ww_, _ = hh.shape
+            x5 = hh.reshape(bsz, hh_, ww_, 2, cin)
+            y = jnp.einsum("bijqc,pLoc->bipjqLo", x5.astype(dt),
+                           kt.astype(dt))
+            o = kt.shape[2]
+            y = (y.reshape(bsz, 2 * hh_, ww_, 4 * o)
+                 + jnp.tile(p_tconv["bias"], 4).astype(dt))
+            r = 4
+        y, s = bn_grouped(y, p_bn, s_bn, 0.5, r)
+        return jax.nn.relu(y), s
+
+    up_fn = jax.checkpoint(_up_pure, static_argnums=(4, 5)) if remat \
+        else _up_pure
+
+    def up(name, hh, mode, cin=0):
+        y, s = up_fn(params[f"{name}_tconv"], params[f"{name}_bn"],
+                     state[f"{name}_bn"], hh, mode, cin)
+        new_state[f"{name}_bn"] = s
+        return y
 
     def up_std(name, hh):
-        y = B.tconv2x2(hh, params[f"{name}_tconv"], dtype=dt)
-        y, s = B.batch_norm(y, params[f"{name}_bn"], state[f"{name}_bn"],
-                            True, 0.5)
-        new_state[f"{name}_bn"] = s
-        return jax.nn.relu(y)
+        return up(name, hh, "std")
 
     def up_to_w2(name, hh):
-        kt = params[f"{name}_tconv"]["kernel"]  # (2, 2, out, in)
-        y = jnp.einsum("bijc,pqoc->bipjqo", hh.astype(dt), kt.astype(dt))
-        bsz, hh_, _, ww_, _, o = y.shape
-        y = (y.reshape(bsz, 2 * hh_, ww_, 2 * o)
-             + jnp.tile(params[f"{name}_tconv"]["bias"], 2).astype(dt))
-        y, s = bn_grouped(y, params[f"{name}_bn"], state[f"{name}_bn"],
-                          0.5, 2)
-        new_state[f"{name}_bn"] = s
-        return jax.nn.relu(y)
+        return up(name, hh, "w2")
 
     def up_w2_to_w4(name, hh, cin):
-        kt = params[f"{name}_tconv"]["kernel"]
-        bsz, hh_, ww_, _ = hh.shape
-        x5 = hh.reshape(bsz, hh_, ww_, 2, cin)
-        y = jnp.einsum("bijqc,pLoc->bipjqLo", x5.astype(dt), kt.astype(dt))
-        o = kt.shape[2]
-        y = (y.reshape(bsz, 2 * hh_, ww_, 4 * o)
-             + jnp.tile(params[f"{name}_tconv"]["bias"], 4).astype(dt))
-        y, s = bn_grouped(y, params[f"{name}_bn"], state[f"{name}_bn"],
-                          0.5, 4)
-        new_state[f"{name}_bn"] = s
-        return jax.nn.relu(y)
+        return up(name, hh, "w4", cin)
 
     def drop(hh, rate):
         return B.dropout(hh, rate, True, next(rngs))

@@ -93,6 +93,39 @@ class UNet2DSummary:
         # has no backward pass.
         self.remat = remat
 
+    def _resolve_apply_fn(self, fast, params, shapes, train=False,
+                          remat=False):
+        """Pick the forward for this call and return it as an
+        identity-STABLE partial (cached per (net, dtype, remat): the
+        evaluator/forward builders are lru_cached on apply_fn, so a fresh
+        partial per call would force a recompile — ~25-200 s through a
+        remote-compile service).
+
+        ``fast``: True forces the W-packed rewrite
+        (models/unet2d_fast.py), False forces ``self.net_apply_func``, and
+        "auto" uses the rewrite iff the stock net, a transpose-mode
+        checkpoint, and %16 ``shapes`` are in play.
+        """
+        use_fast = (fast is True or
+                    (fast == "auto" and self.net_apply_func is unet2d.apply
+                     and "up0_tconv" in params
+                     and all(s % 16 == 0 for shp in shapes for s in shp)))
+        if use_fast:
+            from deepcalcium_tpu.models.unet2d_fast import (apply_fast_w,
+                                                            apply_fast_w_train)
+
+            net = apply_fast_w_train if train else apply_fast_w
+        else:
+            net = self.net_apply_func
+        kw = {"compute_dtype": self.compute_dtype}
+        if remat:
+            kw["remat"] = True
+        cache = self.__dict__.setdefault("_apply_fn_cache", {})
+        key = (net, self.compute_dtype, bool(remat))
+        if key not in cache:
+            cache[key] = functools.partial(net, **kw)
+        return cache[key]
+
     # ------------------------------------------------------------------ fit
 
     def fit(self, dataset_paths, model_path=None, proceed=False,
@@ -195,22 +228,9 @@ class UNet2DSummary:
                 if proceed and opt_loaded is not None:
                     opt_state = opt_loaded
 
-        apply_kw = {"compute_dtype": self.compute_dtype}
-        if self.remat:
-            apply_kw["remat"] = True
-        use_fast_trn = (fast_train is True or
-                        (fast_train == "auto"
-                         and self.net_apply_func is unet2d.apply
-                         and "up0_tconv" in params
-                         and all(s % 16 == 0 for s in shape_trn)
-                         and all(s % 16 == 0 for s in shape_val)))
-        if use_fast_trn:
-            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
-
-            net = apply_fast_w_train
-        else:
-            net = self.net_apply_func
-        apply_fn = functools.partial(net, **apply_kw)
+        apply_fn = self._resolve_apply_fn(fast_train, params,
+                                          (shape_trn, shape_val),
+                                          train=True, remat=self.remat)
         kdisp = int(steps_per_dispatch)
         assert kdisp >= 1 and nb_steps_trn % kdisp == 0, (
             f"steps_per_dispatch={kdisp} must divide nb_steps_trn="
@@ -463,25 +483,7 @@ class UNet2DSummary:
             if model_path is None:
                 raise ValueError("need model_path or params+state")
             params, state = self._load_params(model_path)
-        use_fast = (fast is True or
-                    (fast == "auto" and self.net_apply_func is unet2d.apply
-                     and "up0_tconv" in params
-                     and all(s % 16 == 0 for s in window_shape)))
-        if use_fast:
-            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
-
-            net = apply_fast_w
-        else:
-            net = self.net_apply_func
-        # Identity-stable partial: the evaluator builders are lru_cached on
-        # apply_fn, so a fresh partial per call would defeat the cache and
-        # recompile (~25 s through the remote-compile service).
-        cache = self.__dict__.setdefault("_apply_fn_cache", {})
-        key = (net, self.compute_dtype)
-        if key not in cache:
-            cache[key] = functools.partial(
-                net, compute_dtype=self.compute_dtype)
-        apply_fn = cache[key]
+        apply_fn = self._resolve_apply_fn(fast, params, (window_shape,))
 
         from deepcalcium_tpu.ops import summary as summary_ops
         from deepcalcium_tpu.ops.summary import _device_bandwidth_mbps
@@ -532,17 +534,7 @@ class UNet2DSummary:
         params, state = self._load_params(model_path)
         logger.info("Loaded model from %s.", model_path)
 
-        use_fast = (fast is True or
-                    (fast == "auto" and self.net_apply_func is unet2d.apply
-                     and "up0_tconv" in params
-                     and all(s % 16 == 0 for s in window_shape)))
-        if use_fast:
-            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
-
-            net = apply_fast_w
-        else:
-            net = self.net_apply_func
-        apply_fn = functools.partial(net, compute_dtype=self.compute_dtype)
+        apply_fn = self._resolve_apply_fn(fast, params, (window_shape,))
         fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
         names = [self.dataset_name_func(p) for p in dataset_paths]

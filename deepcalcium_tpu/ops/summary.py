@@ -265,9 +265,11 @@ class StreamingSummary:
       where the transfer costs more than the whole reduction).
 
     ``backend='auto'`` probes the measured host->device bandwidth
-    (:func:`_device_bandwidth_mbps`): >1 GB/s (DMA-attached accelerator, or
-    a CPU backend where 'transfer' is free) selects ``device``; slower links
-    (tunneled remotes, O(100 MB/s)) select ``host``.
+    (:func:`_device_bandwidth_mbps`): above ``DEVICE_BACKEND_MIN_MBPS``
+    (4 GB/s — DMA-attached accelerators, or a CPU backend where 'transfer'
+    is free) selects ``device``; slower links (tunneled remotes,
+    0.25-1 GB/s, whose donated updates also round-trip the control plane)
+    select ``host``.
     """
 
     def __init__(self, frame_shape, dtype=jnp.int16, backend: str = "auto"):

@@ -64,9 +64,20 @@ def _image_eval_body(apply_fn, image_shape, window, tta, threshold):
     return body
 
 
-@functools.lru_cache(maxsize=16)
 def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
                          threshold=0.5, mesh=None):
+    """See :func:`_make_movie_evaluator`. This thin wrapper normalizes the
+    shape arguments (lists/np shapes -> tuples) so the lru_cached core —
+    which exists to avoid recompiling ~25-200 s graphs per call through a
+    remote-compile service — never sees unhashable arguments. Pass an
+    identity-STABLE ``apply_fn`` (build the partial once, not per call)."""
+    return _make_movie_evaluator(apply_fn, tuple(movie_shape), tuple(window),
+                                 bool(tta), float(threshold), mesh)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
+                          threshold=0.5, mesh=None):
     """Build the fused end-to-end movie evaluator: ONE jitted graph running
     summary-reduction -> z-norm -> reflect-pad -> (8x TTA) forward ->
     inverse/average -> threshold, entirely on device.
@@ -119,9 +130,18 @@ def make_movie_evaluator(apply_fn, movie_shape, window=(512, 512), tta=True,
                    out_shardings=(rep, rep, rep))
 
 
-@functools.lru_cache(maxsize=16)
 def make_summary_evaluator(apply_fn, image_shape, window=(512, 512),
                            tta=True, threshold=0.5, mesh=None):
+    """Shape-normalizing wrapper over the lru_cached core (see
+    :func:`make_movie_evaluator` for why)."""
+    return _make_summary_evaluator(apply_fn, tuple(image_shape),
+                                   tuple(window), bool(tta),
+                                   float(threshold), mesh)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_summary_evaluator(apply_fn, image_shape, window=(512, 512),
+                            tta=True, threshold=0.5, mesh=None):
     """Build the jitted evaluator from a MEAN summary image (instead of a
     resident movie): z-norm -> pad -> (8x TTA) forward -> threshold.
 

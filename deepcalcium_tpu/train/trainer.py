@@ -17,6 +17,8 @@ train step:
 """
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,8 +229,13 @@ def ema_update(ema, params, decay):
     return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
 
 
+@functools.lru_cache(maxsize=16)
 def make_eval_forward(apply_fn, mesh=None):
-    """Jitted batched inference forward, batch-sharded when a mesh is given."""
+    """Jitted batched inference forward, batch-sharded when a mesh is given.
+
+    lru_cached on (apply_fn, mesh): a fresh jit wrapper per call would
+    recompile the full forward (~25-200 s through a remote-compile
+    service) — pass an identity-stable ``apply_fn``."""
 
     def fwd(params, state, x):
         probs, _ = apply_fn(params, state, x, train=False, rng=None)

@@ -19,22 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(fn, args, iters=20):
-    def drain(out):
-        leaf = jax.tree.leaves(out)[0]
-        return float(jnp.sum(leaf.astype(jnp.float32)))
-
-    drain(fn(*args))
-    drain(fn(*args))
-    ts = {}
-    for n in (2, 2 + iters):
-        tic = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(*args)
-        drain(out)
-        ts[n] = time.perf_counter() - tic
-    return (ts[2 + iters] - ts[2]) / iters
+from slope_timing import slope_time  # noqa: E402 (shared tunnel-safe timer)
 
 
 def main():
