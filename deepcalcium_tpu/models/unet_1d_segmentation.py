@@ -317,12 +317,16 @@ class UNet1DSegmentation:
     # -------------------------------------------------------------- predict
 
     def predict(self, dataset_paths, model_path, batch=32, threshold=0.5,
-                error_margin=4, mesh=None):
+                error_margin=4, mesh=None, fast="auto"):
         """Full-trace-length spike prediction (reference ``:422-459``).
 
         Traces are reflect-padded to a multiple of 16 (4 pools) and cropped
         back — no model rebuild needed. ``model_path`` may be a native
         ``.ckpt`` or a Keras ``.hdf5`` (imported via interop.keras_import).
+
+        ``fast``: dispatch the MXU-shaped T-packed inference rewrite
+        (``models/unet1d_fast.apply_fast_t`` — numerically equivalent)
+        when the stock net is in use; True/False forces.
         """
         if str(model_path).endswith((".hdf5", ".h5")):
             from deepcalcium_tpu.interop.keras_import import load_unet1d_keras
@@ -331,9 +335,22 @@ class UNet1DSegmentation:
         else:
             params0, state0 = self.net_init_func(jax.random.PRNGKey(0))
             params, state, _, _ = load_checkpoint(model_path, params0, state0)
-        apply_fn = functools.partial(
-            self.net_apply_func, margin=int(error_margin),
-            compute_dtype=self.compute_dtype)
+        use_fast = (fast is True or
+                    (fast == "auto" and self.net_apply_func is unet1d.apply))
+        if use_fast:
+            from deepcalcium_tpu.models.unet1d_fast import apply_fast_t
+
+            net = apply_fast_t
+        else:
+            net = self.net_apply_func
+        # Identity-stable partial (make_eval_forward is lru_cached on it).
+        cache = self.__dict__.setdefault("_apply_fn_cache", {})
+        key = (net, self.compute_dtype, int(error_margin))
+        if key not in cache:
+            cache[key] = functools.partial(
+                net, margin=int(error_margin),
+                compute_dtype=self.compute_dtype)
+        apply_fn = cache[key]
         fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
         spikes_pred_all, names_all = [], []
