@@ -459,7 +459,21 @@ def apply_fast_w(params, state, x, train: bool = False, rng=None,
     hh = y.reshape(bs, hm + 2, wm, -1)[:, :hm]
 
     hh = up_std("up3", hh)
-    hh = cbr("dec3b", cbr("dec3a", jnp.concatenate([hh, skip3], axis=-1)))
+    # dec3a as split convs (no concat tensor): measured 0.68 -> 0.39 ms at
+    # (8, 64, 64). The same split at dec2a LOSES (0.94 -> 2.85 ms — XLA
+    # picks a worse schedule for the (3,3,128,128)@128² pair), so dec2a
+    # keeps the concat.
+    k3, b3 = fold("dec3a")
+    cu = hh.shape[-1]
+    hh = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            hh, k3[:, :, :cu].astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + jax.lax.conv_general_dilated(
+            skip3.astype(dt), k3[:, :, cu:].astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + b3.astype(dt))
+    hh = cbr("dec3b", hh)
     hh = up_std("up2", hh, staged=True)
     hh = cbr("dec2b", cbr("dec2a", jnp.concatenate([hh, skip2], axis=-1)))
 
