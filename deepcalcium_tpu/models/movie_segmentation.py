@@ -27,8 +27,17 @@ def _pad16(hw: int) -> int:
 
 
 def _make_segment_slab(hp, wp, compute_dtype, threshold, mesh=None,
-                       apply_fn=None):
-    apply_fn = apply_fn or unet2d.apply
+                       apply_fn=None, params=None):
+    if apply_fn is None:
+        # Stock net: dispatch the W-packed inference rewrite (exact,
+        # models/unet2d_fast.py) when the checkpoint is transpose-mode;
+        # hp/wp are already %16 by construction.
+        if params is not None and "up0_tconv" in params:
+            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
+
+            apply_fn = apply_fast_w
+        else:
+            apply_fn = unet2d.apply
 
     def seg(params, state, slab):
         x = slab.astype(jnp.float32)
@@ -70,7 +79,7 @@ def segment_movie(params, state, movie, slab: int = 64, mesh=None,
         n = mesh.devices.size
         slab = -(-slab // n) * n
     seg = _make_segment_slab(hp, wp, compute_dtype, threshold, mesh=mesh,
-                             apply_fn=apply_fn)
+                             apply_fn=apply_fn, params=params)
 
     # HDF5-read + pad + host->device transfer runs on a background thread
     # (Prefetcher) so it overlaps the device compute of the previous slab —

@@ -67,6 +67,18 @@ def test_segment_movie_shapes_and_values():
     assert set(np.unique(out)).issubset({0, 1})
 
 
+def test_segment_movie_fast_dispatch_matches_parity():
+    """The auto-dispatched W-packed forward produces the same masks as the
+    explicit parity forward (f32)."""
+    params, state = unet2d.init(jax.random.PRNGKey(2), nfb=4)
+    movie = np.random.default_rng(4).integers(
+        0, 1000, (6, 32, 32)).astype(np.int16)
+    fast = segment_movie(params, state, movie, slab=3, compute_dtype=None)
+    slow = segment_movie(params, state, movie, slab=3, compute_dtype=None,
+                         apply_fn=unet2d.apply)
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_segment_movie_sharded_matches_single():
     from deepcalcium_tpu.parallel.mesh import get_mesh
 
