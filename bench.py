@@ -110,6 +110,14 @@ def main():
     from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
 
     movie_host = np.asarray(movie_dev)
+    # Host-health probe: this VM periodically throttles wholesale (host
+    # numpy AND the tunnel drop 10-100x for minutes — docs/VALIDATION.md).
+    # Reporting the measured host reduction bandwidth alongside
+    # from_host_fps makes a weather-skewed reading self-diagnosing.
+    probe = movie_host[:128]  # 64 MB
+    tic = time.perf_counter()
+    float(probe.astype(np.float32).sum())
+    host_mbps = probe.nbytes / 2**20 / max(time.perf_counter() - tic, 1e-9)
     # Warm the eval-from-summary jit + first-run executable load so the
     # steady-state number measures the pipeline, not the tunnel's one-off
     # costs (~23 s first-run load — which lands on the SECOND dispatch
@@ -137,8 +145,11 @@ def main():
         "eval_ms": round(dt * 1e3, 2),
         # Host-array rate via the streaming path (host-side summary + 1 MB
         # image transfer); bounded by the 1-core host's NumPy reduction
-        # bandwidth here, by DMA transfer on a real TPU VM.
+        # bandwidth here (reported as host_sum_MBps — readings far below
+        # ~300 MB/s mean the VM was in a throttled window), by DMA
+        # transfer on a real TPU VM.
         "from_host_fps": round(t / dt_host, 1),
+        "host_sum_MBps": round(host_mbps, 1),
     }))
 
 

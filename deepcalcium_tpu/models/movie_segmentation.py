@@ -31,13 +31,17 @@ def _make_segment_slab(hp, wp, compute_dtype, threshold, mesh=None,
     if apply_fn is None:
         # Stock net: dispatch the W-packed inference rewrite (exact,
         # models/unet2d_fast.py) when the checkpoint is transpose-mode;
-        # hp/wp are already %16 by construction.
+        # hp/wp are already %16 by construction. Upsampling-mode
+        # checkpoints (no tconv weights) take the parity forward with the
+        # matching up_mode.
         if params is not None and "up0_tconv" in params:
             from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
 
             apply_fn = apply_fast_w
         else:
-            apply_fn = unet2d.apply
+            import functools
+
+            apply_fn = functools.partial(unet2d.apply, up_mode="upsampling")
 
     def seg(params, state, slab):
         x = slab.astype(jnp.float32)
