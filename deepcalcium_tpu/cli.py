@@ -145,6 +145,55 @@ def cmd_ingest(args):
     print(out)
 
 
+def cmd_evaluate_movie(args):
+    """One-dispatch summary->TTA->threshold evaluate of a raw movie file
+    (the headline benchmark pipeline as an end-user command)."""
+    import numpy as np
+
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+    from deepcalcium_tpu.utils.visualization import mask_outlines, save_png
+
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    mask, prob = model.evaluate_movie(
+        args.movie, model_path=args.model_path,
+        window_shape=(args.window, args.window), tta=not args.no_tta,
+        threshold=args.threshold)
+    print(f"mask {mask.shape}: {int(mask.sum())} positive px "
+          f"({mask.mean():.2%}); prob range "
+          f"[{prob.min():.3f}, {prob.max():.3f}]")
+    if args.out:
+        np.savez(args.out, mask=mask, prob=prob)
+        print(f"wrote {args.out}")
+    if args.png:
+        z = (prob - prob.min()) / max(float(np.ptp(prob)), 1e-9)
+        save_png(args.png, mask_outlines(z, [mask], ["red"]))
+        print(f"wrote {args.png}")
+
+
+def cmd_segment(args):
+    """Per-frame segmentation of a raw movie (the BASELINE stretch config);
+    writes a (T, H, W) uint8 mask stack next to the input."""
+    import h5py
+    import numpy as np
+
+    from deepcalcium_tpu.models.movie_segmentation import segment_movie
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    params, state = model._load_params(args.model_path)
+    out_path = args.out or (os.path.splitext(args.movie)[0] + "_masks.hdf5")
+    with h5py.File(args.movie, "r") as fp:
+        masks = segment_movie(params, state, fp["series/raw"],
+                              slab=args.slab, threshold=args.threshold)
+    tmp = out_path + ".tmp"
+    with h5py.File(tmp, "w") as fp:
+        fp.create_dataset("masks/frames", data=masks,
+                          compression="gzip", compression_opts=1)
+    os.replace(tmp, out_path)
+    print(f"wrote {out_path}: {masks.shape}, "
+          f"{float(np.mean(masks)):.2%} positive")
+
+
 def build_parser():
     ap = argparse.ArgumentParser(
         prog="dc-tpu", description="TPU-native deep-calcium CLI.")
@@ -218,6 +267,33 @@ def build_parser():
     p.add_argument("tiff_dir")
     p.add_argument("name")
     p.set_defaults(func=cmd_ingest)
+
+    p = sp.add_parser(
+        "evaluate-movie",
+        help="Fused summary->TTA->threshold evaluate of one raw movie.")
+    p.add_argument("movie", help="contract HDF5 (series/raw) path")
+    p.add_argument("-m", "--model_path", required=True,
+                   help=".ckpt or Keras .hdf5")
+    p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("--window", type=int, default=512)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--no-tta", action="store_true")
+    p.add_argument("--out", help="write mask+prob to this .npz")
+    p.add_argument("--png", help="write an outlined summary PNG here")
+    p.set_defaults(func=cmd_evaluate_movie)
+
+    p = sp.add_parser(
+        "segment",
+        help="Per-frame segmentation of a raw movie -> uint8 mask stack.")
+    p.add_argument("movie", help="contract HDF5 (series/raw) path")
+    p.add_argument("-m", "--model_path", required=True,
+                   help=".ckpt or Keras .hdf5")
+    p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("--slab", type=int, default=64,
+                   help="frames per device batch")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--out", help="output HDF5 (default <movie>_masks.hdf5)")
+    p.set_defaults(func=cmd_segment)
     return ap
 
 
