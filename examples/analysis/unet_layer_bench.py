@@ -123,10 +123,173 @@ def block_fns():
     return out
 
 
+def wpack_block_fns():
+    """(name, fn, x_shape, flops, bytes, cout_eff) for every distinct block
+    of the W-packed fast forward (apply_fast_w) at (8, 512, 512), nfb=32.
+    FLOPs are the PACKED (inflated) counts — the work the MXU actually
+    does; compare against the parity rows for the logical counts."""
+    import jax.numpy as jnp
+
+    from deepcalcium_tpu.models import blocks as Bk
+
+    rng = np.random.default_rng(0)
+    out = []
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def arr(shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+
+    def conv_block(name, xshape, kshape):
+        k = arr(kshape)
+
+        @jax.jit
+        def fn(x):
+            return jax.nn.relu(jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", dimension_numbers=dn))
+
+        m = xshape[0] * xshape[1] * xshape[2]
+        fl = 2 * m * kshape[0] * kshape[1] * kshape[2] * kshape[3]
+        byts = (np.prod(xshape) + m * kshape[3]) * 2
+        out.append((name, fn, xshape, fl, int(byts), kshape[3]))
+
+    def split_block(name, xshape, kshape):
+        ka, kb = arr(kshape), arr(kshape)
+
+        @jax.jit
+        def fn(x):
+            ya = jax.lax.conv_general_dilated(x, ka, (1, 1), "SAME",
+                                              dimension_numbers=dn)
+            yb = jax.lax.conv_general_dilated(x, kb, (1, 1), "SAME",
+                                              dimension_numbers=dn)
+            return jax.nn.relu(ya + yb)
+
+        m = xshape[0] * xshape[1] * xshape[2]
+        fl = 4 * m * kshape[0] * kshape[1] * kshape[2] * kshape[3]
+        byts = (2 * np.prod(xshape) + m * kshape[3]) * 2
+        out.append((name, fn, xshape, fl, int(byts), kshape[3]))
+
+    # Level 0 (W4, packed width 128) and level 1 (W2).
+    conv_block("enc0a_w4 (3,3,4,128)@512", (8, 512, 128, 4), (3, 3, 4, 128))
+    conv_block("enc0b_w4 (3,3,128,128)@512", (8, 512, 128, 128),
+               (3, 3, 128, 128))
+    split_block("dec0a_w4 split 2x(3,3,128,128)", (8, 512, 128, 128),
+                (3, 3, 128, 128))
+    conv_block("enc1a_w2 (3,3,64,128)@256", (8, 256, 128, 64),
+               (3, 3, 64, 128))
+    conv_block("enc1b_w2 (3,3,128,128)@256", (8, 256, 128, 128),
+               (3, 3, 128, 128))
+    split_block("dec1a_w2 split 2x(3,3,128,128)", (8, 256, 128, 128),
+                (3, 3, 128, 128))
+
+    # Pools as channel-group max + H-window.
+    @jax.jit
+    def pool0(z):
+        m = z.reshape(8, 512, 128, 2, 2, 32).max(axis=4).reshape(
+            8, 512, 128, 64)
+        return jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                                     (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    out.append(("pool0_w4->w2", pool0, (8, 512, 128, 128), 0,
+                (8 * 512 * 128 * 128 + 8 * 256 * 128 * 64) * 2, 64))
+
+    @jax.jit
+    def pool1(z):
+        m = jnp.maximum(z[..., :64], z[..., 64:])
+        return jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                                     (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    out.append(("pool1_w2->std", pool1, (8, 256, 128, 128), 0,
+                (8 * 256 * 128 * 128 + 8 * 128 * 128 * 64) * 2, 64))
+
+    # Transpose-up einsums with layout-preserving merges.
+    ku1 = arr((2, 2, 64, 128))  # HWOI
+
+    @jax.jit
+    def up1(h):
+        y = jnp.einsum("bijc,pqoc->bipjqo", h, ku1)
+        return jax.nn.relu(y.reshape(8, 256, 128, 128))
+
+    out.append(("up1->w2 einsum", up1, (8, 128, 128, 128),
+                2 * 8 * 128 * 128 * 4 * 128 * 64,
+                (8 * 128 * 128 * 128 + 8 * 256 * 128 * 128) * 2, 128))
+
+    ku0 = arr((2, 2, 32, 64))
+
+    @jax.jit
+    def up0(h):
+        x5 = h.reshape(8, 256, 128, 2, 64)
+        y = jnp.einsum("bijqc,pLoc->bipjqLo", x5, ku0)
+        return jax.nn.relu(y.reshape(8, 512, 128, 128))
+
+    out.append(("up0_w2->w4 einsum", up0, (8, 256, 128, 128),
+                2 * 8 * 256 * 128 * 4 * 64 * 32,
+                (8 * 256 * 128 * 128 + 8 * 512 * 128 * 128) * 2, 128))
+
+    # Mid block batch-folded into H.
+    km1, km2 = arr((3, 3, 256, 512)), arr((3, 3, 512, 512))
+
+    @jax.jit
+    def mid_folded(x):
+        bs, hm, wm, cm = x.shape
+        xf = jnp.pad(x, ((0, 0), (0, 2), (0, 0), (0, 0))).reshape(
+            1, bs * (hm + 2), wm, cm)
+        gap = (jnp.arange(bs * (hm + 2)) % (hm + 2) < hm).astype(x.dtype)
+        y = jax.nn.relu(jax.lax.conv_general_dilated(
+            xf, km1, (1, 1), "SAME", dimension_numbers=dn))
+        y = y * gap[None, :, None, None]
+        y = jax.nn.relu(jax.lax.conv_general_dilated(
+            y, km2, (1, 1), "SAME", dimension_numbers=dn))
+        return y.reshape(bs, hm + 2, wm, -1)[:, :hm]
+
+    fl = 2 * 8 * 32 * 32 * 9 * (256 * 512 + 512 * 512)
+    out.append(("mid folded (a+b)", mid_folded, (8, 32, 32, 256), fl,
+                (8 * 32 * 32 * (256 + 512 + 512)) * 2, 128))
+
+    # Head: channel-dot + sigmoid in f32.
+    wd = jnp.asarray(rng.standard_normal(32), jnp.float32)
+
+    @jax.jit
+    def head(z):
+        zz = z.reshape(8, 512, 128, 4, 32).astype(jnp.float32)
+        logit = jnp.einsum("bhwqc,c->bhwq", zz, wd)
+        return jax.nn.sigmoid(logit).reshape(8, 512, 512)
+
+    out.append(("head sigmoid-diff", head, (8, 512, 128, 128),
+                2 * 8 * 512 * 512 * 32,
+                (8 * 512 * 128 * 128) * 2 + 8 * 512 * 512 * 4, 128))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv")
+    ap.add_argument("--fast", action="store_true",
+                    help="profile the W-packed fast-forward blocks instead "
+                         "of the parity blocks")
     args = ap.parse_args()
+
+    if args.fast:
+        rows = []
+        rng = np.random.default_rng(1)
+        print(f"{'block':34s} {'ms':>7s} {'TFLOP/s':>8s} {'GB/s':>7s}")
+        total = 0.0
+        for name, fn, xshape, flops, byts, _ in wpack_block_fns():
+            x = jnp.asarray(rng.standard_normal(xshape), jnp.bfloat16)
+            dt = slope_time(fn, (x,))
+            total += dt
+            rows.append((name, dt * 1e3, flops, byts))
+            print(f"{name:34s} {dt*1e3:7.3f} {flops/dt/1e12:8.1f} "
+                  f"{byts/dt/1e9:7.0f}")
+        print(f"single-count block sum: {total*1e3:.2f} ms "
+              f"(shared-shape blocks counted once)")
+        if args.csv:
+            import csv
+
+            with open(args.csv, "w", newline="") as fp:
+                wr = csv.writer(fp)
+                wr.writerow(["block", "ms", "flops_packed", "bytes"])
+                wr.writerows(rows)
+        return
 
     from deepcalcium_tpu.models import unet2d
     from deepcalcium_tpu.ops.summary import movie_summary_fast
