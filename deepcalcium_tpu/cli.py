@@ -165,8 +165,8 @@ def cmd_evaluate_movie(args):
         np.savez(args.out, mask=mask, prob=prob)
         print(f"wrote {args.out}")
     if args.png:
-        z = (prob - prob.min()) / max(float(np.ptp(prob)), 1e-9)
-        save_png(args.png, mask_outlines(z, [mask], ["red"]))
+        # mask_outlines percentile-clips and normalizes internally.
+        save_png(args.png, mask_outlines(prob, [mask], ["red"]))
         print(f"wrote {args.png}")
 
 

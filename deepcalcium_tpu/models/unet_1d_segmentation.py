@@ -344,13 +344,8 @@ class UNet1DSegmentation:
         else:
             net = self.net_apply_func
         # Identity-stable partial (make_eval_forward is lru_cached on it).
-        cache = self.__dict__.setdefault("_apply_fn_cache", {})
-        key = (net, self.compute_dtype, int(error_margin))
-        if key not in cache:
-            cache[key] = functools.partial(
-                net, margin=int(error_margin),
-                compute_dtype=self.compute_dtype)
-        apply_fn = cache[key]
+        apply_fn = T.stable_apply_fn(self, net, margin=int(error_margin),
+                                     compute_dtype=self.compute_dtype)
         fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
         spikes_pred_all, names_all = [], []

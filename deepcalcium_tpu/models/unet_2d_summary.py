@@ -120,11 +120,7 @@ class UNet2DSummary:
         kw = {"compute_dtype": self.compute_dtype}
         if remat:
             kw["remat"] = True
-        cache = self.__dict__.setdefault("_apply_fn_cache", {})
-        key = (net, self.compute_dtype, bool(remat))
-        if key not in cache:
-            cache[key] = functools.partial(net, **kw)
-        return cache[key]
+        return T.stable_apply_fn(self, net, **kw)
 
     # ------------------------------------------------------------------ fit
 
@@ -478,6 +474,13 @@ class UNet2DSummary:
 
         # Returns
             (mask uint8 (H, W), prob float32 (H, W)) as host arrays.
+
+        Compile-cache note: the fused device graph specializes on the
+        movie's full (T, H, W) shape; evaluating many movies of differing
+        T through a remote-compile service recompiles per T. The streaming
+        path (taken automatically for HDF5 inputs and thin links) only
+        specializes on (H, W); for summary-image fleets use ``predict``,
+        which is T-free by construction.
         """
         if params is None:
             if model_path is None:

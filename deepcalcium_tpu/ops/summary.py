@@ -251,6 +251,23 @@ def _device_bandwidth_mbps() -> float:
     return 4.0 / max(dt, 1e-9)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _streaming_device_update(s, m, chunk):
+    """Donated device fold of one frame chunk into (sum, max) accumulators.
+    Module-level (not a per-instance closure) so jax's global jit cache
+    reuses the compiled kernel across StreamingSummary instances — a fresh
+    closure per instance recompiled on every evaluate_movie call."""
+    s = s + jnp.sum(chunk.astype(jnp.float32), axis=0)
+    m = jnp.maximum(m, jnp.max(chunk, axis=0))
+    return s, m
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _streaming_device_update_mean(s, chunk):
+    """Mean-only variant (track_max=False)."""
+    return s + jnp.sum(chunk.astype(jnp.float32), axis=0)
+
+
 class StreamingSummary:
     """Fold host-decoded frame chunks into mean/max accumulators.
 
@@ -272,8 +289,12 @@ class StreamingSummary:
     select ``host``.
     """
 
-    def __init__(self, frame_shape, dtype=jnp.int16, backend: str = "auto"):
+    def __init__(self, frame_shape, dtype=jnp.int16, backend: str = "auto",
+                 track_max: bool = True):
+        """``track_max=False`` skips the max projection — the mean-only
+        consumers (evaluate_movie_streaming) save a full per-frame pass."""
         assert backend in ("auto", "device", "host")
+        self.track_max = track_max
         if backend == "auto":
             # DMA-attached accelerators measure >10 GB/s; tunneled remotes
             # measure 0.25-1 GB/s. The threshold sits well above the tunnel
@@ -297,22 +318,18 @@ class StreamingSummary:
             self._sum = jnp.zeros(frame_shape, jnp.float32)
             self._max = jnp.full(frame_shape, neg, dtype)
 
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def _update(s, m, chunk):
-                s = s + jnp.sum(chunk.astype(jnp.float32), axis=0)
-                m = jnp.maximum(m, jnp.max(chunk, axis=0))
-                return s, m
-
-            self._update = _update
-
     def update(self, chunk) -> None:
         """chunk: (C, H, W) host array of frames."""
         if self.backend == "host":
             self._sum += np.sum(np.asarray(chunk, np.float32), axis=0)
-            np.maximum(self._max, np.max(chunk, axis=0), out=self._max)
-        else:
-            self._sum, self._max = self._update(
+            if self.track_max:
+                np.maximum(self._max, np.max(chunk, axis=0), out=self._max)
+        elif self.track_max:
+            self._sum, self._max = _streaming_device_update(
                 self._sum, self._max, jnp.asarray(chunk))
+        else:
+            self._sum = _streaming_device_update_mean(
+                self._sum, jnp.asarray(chunk))
         self._count += chunk.shape[0]
 
     def result(self):

@@ -195,7 +195,10 @@ def evaluate_movie_streaming(apply_fn, params, state, movie,
     t = movie.shape[0]
     h, w = movie.shape[1:]
     dtype = np.asarray(movie[0:1]).dtype
-    ss = StreamingSummary((h, w), dtype=dtype, backend=backend)
+    # track_max=False: the evaluate path needs only the mean image, and the
+    # max projection would cost a second full per-frame pass on the host.
+    ss = StreamingSummary((h, w), dtype=dtype, backend=backend,
+                          track_max=False)
     for i in range(0, t, chunk):
         ss.update(np.asarray(movie[i : i + chunk]))
     mean, _ = ss.result()

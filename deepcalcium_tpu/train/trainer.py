@@ -229,6 +229,19 @@ def ema_update(ema, params, decay):
     return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
 
 
+def stable_apply_fn(holder, net, **kw):
+    """Return ``functools.partial(net, **kw)`` cached on ``holder`` so
+    repeat calls hand the lru-cached builders (make_eval_forward, the
+    evaluator factories) the SAME function identity — a fresh partial per
+    call would force a recompile (~25-200 s through a remote-compile
+    service). ``kw`` values must be hashable."""
+    cache = holder.__dict__.setdefault("_apply_fn_cache", {})
+    key = (net,) + tuple(sorted(kw.items()))
+    if key not in cache:
+        cache[key] = functools.partial(net, **kw)
+    return cache[key]
+
+
 @functools.lru_cache(maxsize=16)
 def make_eval_forward(apply_fn, mesh=None):
     """Jitted batched inference forward, batch-sharded when a mesh is given.
