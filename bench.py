@@ -108,6 +108,15 @@ def main():
     # disk-hardware-bound (~150 MB/s here, docs/VALIDATION.md §5) in any
     # framework.
     from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
+    from deepcalcium_tpu.ops.summary import auto_backend
+
+    # Which backend will the streaming path take, and on what evidence?
+    # Recording both makes a weather-skewed from_host_fps self-diagnosing
+    # (BENCH_r02 committed 250.7 fps with no way to tell whether the probe
+    # had misrouted the stream to the device backend — it had: the old
+    # probe timed a device_put through block_until_ready, which returns
+    # before the tunnel drains, so the 4 MB probe read spuriously fast).
+    ss_backend, probe_mbps = auto_backend()
 
     movie_host = np.asarray(movie_dev)
     # Host-health probe: this VM periodically throttles wholesale (host
@@ -131,6 +140,60 @@ def main():
                                           window=(512, 512), tta=True)
     dt_host = time.perf_counter() - tic
 
+    # --- Training throughput + MFU (the reference recipe shape: batch 20
+    # @ 128² bf16, W-packed gradient step — fit(fast_train="auto")'s
+    # dispatch). Device step time by the slope method ACROSS lax.scan
+    # lengths, which cancels the tunnel's constant dispatch+fetch latency
+    # (train_step_ab_bench.py methodology; docs/VALIDATION.md round 2).
+    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+    from deepcalcium_tpu.ops import losses as L
+    from deepcalcium_tpu.train import trainer as T
+
+    tb, twin = 20, 128
+    apply_tr = functools.partial(apply_fast_w_train,
+                                 compute_dtype=jnp.bfloat16)
+    optimizer = T.make_optimizer(2e-3)
+    tstep = T.make_train_step(apply_tr, L.LOSSES["binary_crossentropy"],
+                              optimizer)
+    opt_state = jax.device_put(optimizer.init(jax.device_get(params)),
+                               jax.devices()[0])
+
+    def scan_steps(p, s, o, key, xs_k, ys_k):
+        def body(carry, xy):
+            p, s, o, key = carry
+            key, sub = jax.random.split(key)
+            p, s, o, logs = tstep(p, s, o, xy[0], xy[1], sub)
+            return (p, s, o, key), logs["loss"]
+
+        (_, _, _, _), losses = jax.lax.scan(body, (p, s, o, key),
+                                            (xs_k, ys_k))
+        return losses
+
+    scan_fn = jax.jit(scan_steps)
+    kmax, kmin = 12, 2
+    rng_np = np.random.default_rng(0)
+    xs_all = jnp.asarray(rng_np.standard_normal((kmax, tb, twin, twin)),
+                         jnp.float32)
+    ys_all = jnp.asarray(rng_np.random((kmax, tb, twin, twin)) < 0.1,
+                         jnp.float32)
+    ttimes = {}
+    for k in (kmin, kmax):
+        xk, yk = xs_all[:k], ys_all[:k]
+        for _ in range(2):  # compile + first-run executable load
+            float(jnp.sum(scan_fn(params, state, opt_state,
+                                  jax.random.PRNGKey(7), xk, yk)))
+        tic = time.perf_counter()
+        for _ in range(3):
+            float(jnp.sum(scan_fn(params, state, opt_state,
+                                  jax.random.PRNGKey(7), xk, yk)))
+        ttimes[k] = (time.perf_counter() - tic) / 3
+    dt_train = (ttimes[kmax] - ttimes[kmin]) / (kmax - kmin)
+    # Analytic train-step FLOPs: fwd + input-grad + weight-grad conv passes
+    # ≈ 3x the forward's conv FLOPs per window (standard accounting; BN/
+    # metric/Adam elementwise ops are bandwidth-bound, <2% of arithmetic).
+    train_flops = 3 * tb * unet2d.forward_flops(twin, twin, nfb=32)
+    train_tflops = train_flops / dt_train / 1e12
+
     fps = t / dt
     flops = 8 * unet2d.forward_flops(512, 512, nfb=32)  # 8 TTA views
     tflops = flops / dt / 1e12
@@ -150,6 +213,16 @@ def main():
         # transfer on a real TPU VM.
         "from_host_fps": round(t / dt_host, 1),
         "host_sum_MBps": round(host_mbps, 1),
+        # Streaming-path routing evidence (see auto_backend).
+        "streaming_backend": ss_backend,
+        "probe_mbps": round(probe_mbps, 1),
+        # Training: W-packed gradient step at the reference recipe shape
+        # (batch 20 @ 128², bf16), slope-measured device time.
+        "train_step_ms": round(dt_train * 1e3, 2),
+        "train_windows_per_sec": round(tb / dt_train, 1),
+        "train_flops_per_step": train_flops,
+        "train_tflops_per_sec": round(train_tflops, 1),
+        "train_mfu": round(train_tflops / PEAK_TFLOPS, 4),
     }))
 
 

@@ -163,12 +163,20 @@ def realistic_movie(rng, masks, nb_frames=128, base=120, amp_lo=80,
 
 
 def make_realistic_hdf5(path, name, shape=(256, 256), nb_frames=128,
-                        nb_neurons=40, seed=0):
+                        nb_neurons=40, seed=0, r_lo=3, r_hi=7,
+                        amp_lo=80, amp_hi=300, spike_rate=0.05):
     """Realistic-synthetic neurofinder-contract HDF5 (harder than
-    make_neurons_hdf5: soft disks, transients, drift, touching pairs)."""
+    make_neurons_hdf5: soft disks, transients, drift, touching pairs).
+
+    Density/SNR knobs (``nb_neurons``/``r_lo``/``r_hi``, ``amp_*``/
+    ``spike_rate``) exist so sweeps can match real-data difficulty — the
+    Neurofinder train corpus averages 0.126 positive-pixel proportion
+    (reference dlmia_workshop_figures.ipynb), and fixtures far easier than
+    that saturate model comparisons (VERDICT r2 weak #6)."""
     rng = np.random.default_rng(seed)
-    masks = realistic_neurons(rng, shape, nb_neurons)
-    movie = realistic_movie(rng, masks, nb_frames)
+    masks = realistic_neurons(rng, shape, nb_neurons, r_lo=r_lo, r_hi=r_hi)
+    movie = realistic_movie(rng, masks, nb_frames, amp_lo=amp_lo,
+                            amp_hi=amp_hi, spike_rate=spike_rate)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as fp:
         fp.attrs["name"] = name

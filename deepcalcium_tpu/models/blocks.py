@@ -33,11 +33,35 @@ def he_normal(key, shape, fan_in):
     return jax.random.normal(key, shape, jnp.float32) * jnp.sqrt(2.0 / fan_in)
 
 
-def init_conv(key, ksize, cin, cout):
+def kernel_init(key, shape, fan_in, fan_out, scheme: str = "he_normal"):
+    """Kernel initializer by scheme name — the init axis the reference's
+    hyperparameter search swept over Keras initializers
+    (``notebooks/unet2ds_random_hyperparameter_search.ipynb``).
+
+    Schemes (Keras-faithful scale conventions): ``he_normal`` (the
+    reference model default, ``unet_2d_summary.py``), ``he_uniform``,
+    ``glorot_uniform``, ``glorot_normal``.
+    """
+    if scheme == "he_normal":
+        return he_normal(key, shape, fan_in)
+    if scheme == "he_uniform":
+        lim = jnp.sqrt(6.0 / fan_in)
+        return jax.random.uniform(key, shape, jnp.float32, -lim, lim)
+    if scheme == "glorot_uniform":
+        lim = jnp.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, jnp.float32, -lim, lim)
+    if scheme == "glorot_normal":
+        return jax.random.normal(key, shape, jnp.float32) * jnp.sqrt(
+            2.0 / (fan_in + fan_out))
+    raise ValueError(f"unknown init scheme: {scheme!r}")
+
+
+def init_conv(key, ksize, cin, cout, init_scheme: str = "he_normal"):
     """2-D conv params; kernel layout HWIO (matches Keras)."""
     kh, kw = ksize
     return {
-        "kernel": he_normal(key, (kh, kw, cin, cout), kh * kw * cin),
+        "kernel": kernel_init(key, (kh, kw, cin, cout), kh * kw * cin,
+                              kh * kw * cout, init_scheme),
         "bias": jnp.zeros((cout,), jnp.float32),
     }
 
@@ -50,11 +74,12 @@ def init_conv1d(key, ksize, cin, cout):
     }
 
 
-def init_tconv(key, cin, cout):
+def init_tconv(key, cin, cout, init_scheme: str = "he_normal"):
     """2x2-stride-2 transpose conv; kernel stored HWOI like Keras
     Conv2DTranspose (kh, kw, out_channels, in_channels)."""
     return {
-        "kernel": he_normal(key, (2, 2, cout, cin), 2 * 2 * cin),
+        "kernel": kernel_init(key, (2, 2, cout, cin), 2 * 2 * cin,
+                              2 * 2 * cout, init_scheme),
         "bias": jnp.zeros((cout,), jnp.float32),
     }
 
@@ -139,16 +164,26 @@ def upsample1d(x):
     return jnp.repeat(x, 2, axis=1)
 
 
+# Experiment knob (examples/analysis/train_mfu_sweep.py): when False, BN
+# batch stats reduce in the COMPUTE dtype (bf16) instead of upcasting every
+# activation to f32 first — saving the f32 temp's bandwidth at the cost of
+# stat precision. Read at TRACE time: flip it only around constructing a
+# fresh train step (jit caches do not key on module globals). Production
+# keeps True (Keras-faithful f32 stats; moving state stays f32 either way).
+BN_STATS_F32 = True
+
+
 def batch_norm(x, p, s, train: bool, momentum: float):
     """Keras-semantics BN over the channel (last) axis.
 
     Returns (y, new_state). Stats are computed/updated in float32 whatever
-    the compute dtype.
+    the compute dtype (modulo the BN_STATS_F32 experiment knob above).
     """
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
-        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        xs = x.astype(jnp.float32) if BN_STATS_F32 else x
+        mean = jnp.mean(xs, axis=axes).astype(jnp.float32)
+        var = jnp.var(xs, axis=axes).astype(jnp.float32)
         new_s = {
             "mean": momentum * s["mean"] + (1.0 - momentum) * mean,
             "var": momentum * s["var"] + (1.0 - momentum) * var,

@@ -88,20 +88,23 @@ def layer_order(nfb: int = _F, up_mode: str = "transpose"):
 LAYER_ORDER = layer_order()
 
 
-def init(key, nfb: int = _F, up_mode: str = "transpose"):
-    """Initialize (params, state) pytrees. he_normal kernels, BN γ=1 β=0."""
+def init(key, nfb: int = _F, up_mode: str = "transpose",
+         init_scheme: str = "he_normal"):
+    """Initialize (params, state) pytrees. he_normal kernels (the reference
+    default; ``init_scheme`` selects the alternatives the reference's
+    hyperparameter search swept — see ``blocks.kernel_init``), BN γ=1 β=0."""
     params, state = {}, {}
     cin = 1
     for name, kind, cout in layer_order(nfb, up_mode):
         key, sub = jax.random.split(key)
         if kind == "conv3":
-            params[name] = B.init_conv(sub, (3, 3), cin, cout)
+            params[name] = B.init_conv(sub, (3, 3), cin, cout, init_scheme)
             cin = cout
         elif kind == "conv1":
-            params[name] = B.init_conv(sub, (1, 1), cin, cout)
+            params[name] = B.init_conv(sub, (1, 1), cin, cout, init_scheme)
             cin = cout
         elif kind == "tconv":
-            params[name] = B.init_tconv(sub, cin, cout)
+            params[name] = B.init_tconv(sub, cin, cout, init_scheme)
             cin = cout
         elif kind == "bn":
             params[name], state[name] = B.init_bn(cout)
@@ -112,7 +115,8 @@ def init(key, nfb: int = _F, up_mode: str = "transpose"):
     mult = 2 if up_mode == "transpose" else 3
     for name, cmul in [("dec3a_conv", 8), ("dec2a_conv", 4), ("dec1a_conv", 2), ("dec0a_conv", 1)]:
         key, sub = jax.random.split(key)
-        params[name] = B.init_conv(sub, (3, 3), f * cmul * mult, f * cmul)
+        params[name] = B.init_conv(sub, (3, 3), f * cmul * mult, f * cmul,
+                                   init_scheme)
     return params, state
 
 

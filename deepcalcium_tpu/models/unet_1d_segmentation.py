@@ -9,7 +9,11 @@ best-on-val_F2 checkpointing, full-trace-length prediction.
 TPU-first mechanics: one fully-convolutional apply serves the 4096-sample
 training windows and full-length traces (reflect-padded to a multiple of 16);
 label margin-pooling runs as one jitted reduce_window over the whole trace
-matrix; batches stream through the same Prefetcher as the 2-D model.
+matrix; batches stream through the same Prefetcher as the 2-D model (host->
+device transfer on the producer thread), and ``fit(steps_per_dispatch=K)``
+runs K gradient steps per device dispatch through one ``lax.scan`` — the
+same dispatch-gap fixes measured for the 2-D loop (docs/VALIDATION.md
+§dispatch gap).
 """
 
 import functools
@@ -122,12 +126,20 @@ class UNet1DSegmentation:
 
     def fit(self, dataset_paths, shape=(4096,), error_margin=4, batch=20,
             nb_epochs=20, val_type="random_split", prop_trn=0.8, prop_val=0.2,
-            nb_folds=5, learning_rate=2e-3, seed=865, mesh=None):
+            nb_folds=5, learning_rate=2e-3, seed=865, mesh=None,
+            steps_per_dispatch=1):
         """Train; returns (metrics_trn, metrics_val, best_model_path) for
         random_split, or aggregated fold metrics for cross_validate.
 
         Mirrors reference ``fit`` (``:217-380``): loss = wbce(pos=2), metrics
         F2/prec/reca/ytspks/ypspks, 1 epoch = 1 window from every trace.
+
+        ``steps_per_dispatch`` (K): run K train steps inside ONE jitted
+        ``lax.scan`` dispatch on stacked (K, B, T) batches — amortizes
+        per-step dispatch latency exactly like the 2-D fit (through a
+        high-latency dispatch path per-step dispatch dominates the
+        millisecond device step). Must divide the per-epoch step count
+        ``ceil(n_train_traces / batch)``. Semantically identical to K=1.
         """
         logger = logging.getLogger(funcname())
         assert len(shape) == 1
@@ -151,7 +163,8 @@ class UNet1DSegmentation:
             assert len(idxs_val) > 0, "prop_val rounds to zero traces"
             mt, mv, bmp = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
-                batch, nb_epochs, learning_rate, seed, mesh)
+                batch, nb_epochs, learning_rate, seed, mesh,
+                int(steps_per_dispatch))
             for k in sorted(mt.keys()):
                 logger.info("%-20s trn=%-9.4f val=%-9.4f", k, mt[k], mv[k])
             logger.info("Best model path: %s", bmp)
@@ -169,7 +182,8 @@ class UNet1DSegmentation:
             logger.info("Cross validation fold = %d", val_idx)
             mt, mv, _ = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
-                batch, nb_epochs, learning_rate, seed + val_idx, mesh)
+                batch, nb_epochs, learning_rate, seed + val_idx, mesh,
+                int(steps_per_dispatch))
             metrics_trn.append(mt)
             metrics_val.append(mv)
         agg = {}
@@ -184,7 +198,7 @@ class UNet1DSegmentation:
         return agg
 
     def _fit_single(self, traces, spikes, idxs_trn, idxs_val, shape, margin,
-                    batch, nb_epochs, learning_rate, seed, mesh):
+                    batch, nb_epochs, learning_rate, seed, mesh, kdisp=1):
         logger = logging.getLogger(funcname())
         loss_fn = functools.partial(L.weighted_binary_crossentropy, weightpos=2.0)
         metric_fns = dict(L.SPIKE_METRICS)
@@ -195,17 +209,51 @@ class UNet1DSegmentation:
         apply_fn = functools.partial(
             self.net_apply_func, margin=int(margin),
             compute_dtype=self.compute_dtype)
-        step = T.make_train_step(apply_fn, loss_fn, optimizer,
-                                 metric_fns=metric_fns, mesh=mesh)
-        eval_fwd = T.make_eval_forward(apply_fn, mesh=mesh)
-
         tr_trn = [traces[i] for i in idxs_trn]
         sp_trn = [spikes[i] for i in idxs_trn]
         tr_val = [traces[i] for i in idxs_val]
         sp_val = [spikes[i] for i in idxs_val]
         steps_trn = int(ceil(len(tr_trn) / batch))
+        assert kdisp >= 1 and steps_trn % kdisp == 0, (
+            f"steps_per_dispatch={kdisp} must divide the per-epoch step "
+            f"count ceil(n_train_traces/batch)={steps_trn}")
+        if kdisp > 1:
+            step = T.make_multi_step(apply_fn, loss_fn, optimizer, kdisp,
+                                     metric_fns=metric_fns, mesh=mesh)
+        else:
+            step = T.make_train_step(apply_fn, loss_fn, optimizer,
+                                     metric_fns=metric_fns, mesh=mesh)
+        eval_fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
         gen = self._batch_gen(tr_trn, sp_trn, shape, batch, margin, seed)
+        # Prefetch with host->device transfer on the producer thread (same
+        # machinery as the 2-D fit: train/sampler.py::Prefetcher); K-step
+        # dispatch stacks K batches into one (K, B, T) slab per dispatch.
+        from deepcalcium_tpu.train.sampler import Prefetcher
+
+        if kdisp > 1:
+            def _stacked(g=gen):
+                while True:
+                    bs = [next(g) for _ in range(kdisp)]
+                    yield (np.stack([b[0] for b in bs]),
+                           np.stack([b[1] for b in bs]))
+
+            batch_gen = _stacked()
+        else:
+            batch_gen = gen
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            bdim = 1 if kdisp > 1 else 0
+            def put_fn(b, _m=mesh, _d=bdim):
+                def sh(x):
+                    spec = PartitionSpec(
+                        *([None] * _d), "data", *([None] * (x.ndim - _d - 1)))
+                    return jax.device_put(x, NamedSharding(_m, spec))
+                return tuple(sh(a) for a in b)
+        else:
+            put_fn = lambda b: tuple(jax.device_put(a) for a in b)
+        prefetch = Prefetcher(batch_gen, put_fn=put_fn)
         # Fixed validation batch: two windows from every val trace (:283-284).
         x_val, y_val = next(self._batch_gen(
             tr_val, sp_val, shape, len(tr_val) * 2, margin, seed + 1))
@@ -213,23 +261,64 @@ class UNet1DSegmentation:
         tic = int(time.time())
         csvlog = CSVMetricsLogger(os.path.join(self.cpdir, f"{tic}_metrics.csv"))
         rng = jax.random.PRNGKey(seed + 2)
-        best_f2, best_path = -1.0, None
         # Fixed sample batches for the per-epoch prediction plots
         # (reference _SamplePlotCallback, :26-46, plotted <=30; we cap at 8 —
         # 30 full-length matplotlib subplots per epoch dominates wall-clock
         # on small hosts).
         nb_plot = min(8, x_val.shape[0])
 
+        try:
+            params, state, opt_state, best_path = self._epoch_loop(
+                nb_epochs, steps_trn, kdisp, step, eval_fwd, prefetch,
+                metric_fns, x_val, y_val, nb_plot, csvlog, tic, rng,
+                params, state, opt_state, logger)
+        finally:
+            prefetch.close()
+
+        # Reload best and re-evaluate train + val (reference :304-314). The
+        # train-side evaluation covers steps_trn batches — one window per
+        # training trace, like the reference's evaluate_generator — not a
+        # single high-variance batch. A FRESH generator: the training
+        # generator is owned by the (now closed) prefetch producer thread.
+        assert best_path is not None  # guaranteed by the NaN sanitizer
+        gen_eval = self._batch_gen(tr_trn, sp_trn, shape, batch, margin,
+                                   seed + 3)
+        params, state, _, _ = load_checkpoint(best_path, params, state)
+        sums: dict[str, float] = {}
+        for _ in range(steps_trn):
+            x_trn, y_trn = next(gen_eval)
+            out_trn = np.asarray(eval_fwd(params, state, jnp.asarray(x_trn)))
+            for k, fn in metric_fns.items():
+                sums[k] = sums.get(k, 0.0) + float(
+                    np.mean(np.asarray(fn(y_trn, out_trn))))
+        mt = {k: v / steps_trn for k, v in sums.items()}
+        out_val = np.asarray(eval_fwd(params, state, jnp.asarray(x_val)))
+        mv = {k: float(np.mean(np.asarray(fn(y_val, out_val))))
+              for k, fn in metric_fns.items()}
+        return mt, mv, best_path
+
+    def _epoch_loop(self, nb_epochs, steps_trn, kdisp, step, eval_fwd,
+                    prefetch, metric_fns, x_val, y_val, nb_plot, csvlog,
+                    tic, rng, params, state, opt_state, logger):
+        best_f2, best_path = -1.0, None
         for epoch in range(nb_epochs):
             # Device-side metric accumulation; one host sync per epoch.
             step_metrics: list[dict] = []
-            for _ in range(steps_trn):
-                tb, sb = next(gen)
+            for _ in range(steps_trn // kdisp):
+                tb, sb = next(prefetch)
                 rng, sub = jax.random.split(rng)
-                params, state, opt_state, met = step(
-                    params, state, opt_state, tb, sb, sub)
+                if kdisp > 1:
+                    # ema_decay=None: the ema slot is unused (pass None —
+                    # passing params would double-donate its buffers).
+                    params, state, opt_state, _, met = step(
+                        params, state, opt_state, None, tb, sb, sub)
+                else:
+                    params, state, opt_state, met = step(
+                        params, state, opt_state, tb, sb, sub)
                 step_metrics.append(met)
             fetched = jax.device_get(step_metrics)
+            # np.mean flattens (K,)-valued multi-step metrics and scalars
+            # alike -> identical per-step averaging at any K.
             agg: dict[str, float] = {
                 k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]
             }
@@ -271,25 +360,7 @@ class UNet1DSegmentation:
                     self.cpdir, f"{tic}_model_val_F2_{best_f2:.3f}_{epoch:03d}.ckpt")
                 save_checkpoint(best_path, params, state, opt_state,
                                 meta={"epoch": epoch, "val_F2": best_f2})
-
-        # Reload best and re-evaluate train + val (reference :304-314). The
-        # train-side evaluation covers steps_trn batches — one window per
-        # training trace, like the reference's evaluate_generator — not a
-        # single high-variance batch.
-        assert best_path is not None  # guaranteed by the NaN sanitizer above
-        params, state, _, _ = load_checkpoint(best_path, params, state)
-        sums: dict[str, float] = {}
-        for _ in range(steps_trn):
-            x_trn, y_trn = next(gen)
-            out_trn = np.asarray(eval_fwd(params, state, jnp.asarray(x_trn)))
-            for k, fn in metric_fns.items():
-                sums[k] = sums.get(k, 0.0) + float(
-                    np.mean(np.asarray(fn(y_trn, out_trn))))
-        mt = {k: v / steps_trn for k, v in sums.items()}
-        out_val = np.asarray(eval_fwd(params, state, jnp.asarray(x_val)))
-        mv = {k: float(np.mean(np.asarray(fn(y_val, out_val))))
-              for k, fn in metric_fns.items()}
-        return mt, mv, best_path
+        return params, state, opt_state, best_path
 
     def _batch_gen(self, traces, spikes, shape, batch_size, margin, seed):
         """Random fixed-length windows cycling a shuffled trace order
@@ -341,6 +412,10 @@ class UNet1DSegmentation:
             from deepcalcium_tpu.models.unet1d_fast import apply_fast_t
 
             net = apply_fast_t
+            logging.getLogger(funcname()).info(
+                "fast=%r: dispatching the T-packed inference forward "
+                "(models/unet1d_fast.apply_fast_t — numerically "
+                "equivalent)", fast)
         else:
             net = self.net_apply_func
         # Identity-stable partial (make_eval_forward is lru_cached on it).

@@ -41,7 +41,8 @@ from deepcalcium_tpu.train.sampler import Prefetcher, WindowSampler
 from deepcalcium_tpu.utils.config import checkpoints_dir
 from deepcalcium_tpu.utils.runtime import funcname
 
-__all__ = ["UNet2DSummary", "summarize_series", "summarize_mask", "name_dataset"]
+__all__ = ["UNet2DSummary", "summarize_series", "summarize_mask",
+           "summarize_mask_stencil", "name_dataset"]
 
 
 # --- Default dataset accessors (reference unet_2d_summary.py:227-298) -------
@@ -63,6 +64,32 @@ def summarize_mask(dspath: str) -> np.ndarray:
                 f"scoring/outlines against ground truth need masks/raw")
         msks = fp["masks/raw"][...]
     return mask_summary_exact(msks)
+
+
+def summarize_mask_stencil(dspath: str) -> np.ndarray:
+    """Mask summary via the vectorized parallel-stencil variant
+    (:func:`~deepcalcium_tpu.ops.mask_summary.mask_summary_stencil`) — the
+    on-device alternative to :func:`summarize_mask` for large mask stacks,
+    wired through the ``mask_summary_func`` injection point:
+
+        UNet2DSummary(mask_summary_func=summarize_mask_stencil).fit(...)
+
+    Two jitted stencil passes over an (H, W) id map instead of the exact
+    walk's per-pixel Python loop. Targets may differ from the exact walk by
+    a few OVER-deleted pixels on chains of touching neurons (never added
+    pixels — tests/test_mask_summary.py bounds the divergence); keep the
+    exact default wherever bit-parity with the reference targets matters
+    (scoring, golden comparisons).
+    """
+    with h5py.File(dspath, "r") as fp:
+        if "masks" not in fp:
+            raise KeyError(
+                f"{dspath} has no ground-truth masks (a .test set?) — "
+                f"scoring/outlines against ground truth need masks/raw")
+        msks = fp["masks/raw"][...]
+    from deepcalcium_tpu.ops.mask_summary import mask_summary_stencil
+
+    return np.asarray(mask_summary_stencil(msks), np.float64)
 
 
 def name_dataset(dspath: str) -> str:
@@ -115,6 +142,18 @@ class UNet2DSummary:
                                                             apply_fast_w_train)
 
             net = apply_fast_w_train if train else apply_fast_w
+            # Self-documenting dispatch (parity-sensitive runs need to know
+            # which forward produced a trajectory: the W-packed TRAINING
+            # step draws dropout in packed layout — a different random
+            # sequence than the parity path at the same seed, though
+            # score-level equivalent).
+            logging.getLogger(funcname()).info(
+                "fast=%r: dispatching the W-packed %s forward "
+                "(models/unet2d_fast.%s — numerically %s)", fast,
+                "training" if train else "inference",
+                "apply_fast_w_train" if train else "apply_fast_w",
+                "equivalent up to dropout-draw order" if train
+                else "equivalent")
         else:
             net = self.net_apply_func
         kw = {"compute_dtype": self.compute_dtype}
@@ -130,7 +169,8 @@ class UNet2DSummary:
             learning_rate=2e-3, loss="binary_crossentropy", seed=865,
             mesh=None, adaptive_sampling=False, nb_max_augment=15,
             epoch_callbacks=(), profile_dir=None, ema_decay=None,
-            lr_schedule="plateau", steps_per_dispatch=1, fast_train="auto"):
+            lr_schedule="plateau", steps_per_dispatch=1, fast_train="auto",
+            weight_decay=0.0, prng_impl="threefry2x32"):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -169,6 +209,17 @@ class UNet2DSummary:
         full MXU utilization; same training dynamics up to float
         reassociation and dropout randomness). "auto" = when the stock net
         and %16 window shapes are in use; True/False forces.
+
+        ``weight_decay``: > 0 trains with AdamW decoupled decay — the
+        capacity-control axis the reference's hyperparameter search swept
+        as Keras ``l2(λ)`` (see ``trainer.make_optimizer``).
+
+        ``prng_impl``: JAX PRNG implementation for the dropout stream —
+        ``"threefry2x32"`` (default, splittable gold standard) or ``"rbg"``
+        (TPU-vectorized; measured ~0.9 ms/step cheaper at batch 20 @ 128²
+        through the counter-based generator, docs/VALIDATION.md). The two
+        draw different random sequences; seeds are not comparable across
+        impls.
         """
         logger = logging.getLogger(funcname())
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
@@ -198,7 +249,7 @@ class UNet2DSummary:
         ycval = [(s.shape[0] - int(s.shape[0] * prop_val), s.shape[0]) for s in S]
 
         # Model + optimizer.
-        optimizer = T.make_optimizer(learning_rate)
+        optimizer = T.make_optimizer(learning_rate, weight_decay=weight_decay)
         if model_path and str(model_path).endswith((".hdf5", ".h5")):
             # Warm start / fine-tune from a Keras checkpoint — the
             # reference's fit(model_path=..., proceed=...) continuation
@@ -284,7 +335,7 @@ class UNet2DSummary:
             next_lr = lambda epoch, agg, lr: float(lr_schedule(epoch + 1))
         else:
             raise ValueError(f"unknown lr_schedule: {lr_schedule!r}")
-        rng = jax.random.PRNGKey(seed + 1)
+        rng = jax.random.key(seed + 1, impl=prng_impl)
 
         best_f1, best_path = -1.0, None
         history: dict[str, list] = {}
@@ -488,10 +539,10 @@ class UNet2DSummary:
             params, state = self._load_params(model_path)
         apply_fn = self._resolve_apply_fn(fast, params, (window_shape,))
 
-        from deepcalcium_tpu.ops import summary as summary_ops
-        from deepcalcium_tpu.ops.summary import _device_bandwidth_mbps
+        from deepcalcium_tpu.ops.summary import auto_backend
         from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
 
+        logger = logging.getLogger(funcname())
         if isinstance(movie, (str, os.PathLike)):
             # Stream straight off disk: chunked reads fold through
             # StreamingSummary (host or device per the bandwidth probe) and
@@ -503,11 +554,13 @@ class UNet2DSummary:
                     window=window_shape, tta=tta, threshold=threshold,
                     mesh=mesh)
             return mask, prob
-        if isinstance(movie, np.ndarray) and (
-                _device_bandwidth_mbps()
-                < summary_ops.DEVICE_BACKEND_MIN_MBPS):
+        if isinstance(movie, np.ndarray) and auto_backend()[0] == "host":
             # Host array behind a thin link (tunneled remote chip): reduce
             # on host, ship 1 MB instead of the whole movie.
+            logger.info(
+                "host movie behind a thin link (probe %.0f MB/s): streaming "
+                "evaluate (host summary + 1 image transfer)",
+                auto_backend()[1])
             mask, prob, _ = evaluate_movie_streaming(
                 apply_fn, params, state, movie, window=window_shape,
                 tta=tta, threshold=threshold, mesh=mesh)

@@ -20,11 +20,15 @@ Two implementations:
 - :func:`mask_summary_stencil` — a jit-able, vectorized *parallel* variant:
   a pixel survives iff its 3x3 neighborhood within the single-cover set is
   id-homogeneous AND no neighbor is conflicted (conflicts dilated by 3x3).
-  This is the TPU-native form (two stencil passes over an (H, W) id map —
-  no Python loops) used in on-device pipelines. It can differ from the
+  The TPU-native form (two stencil passes over an (H, W) id map — no
+  Python loops), available in production through
+  ``UNet2DSummary(mask_summary_func=models.unet_2d_summary.
+  summarize_mask_stencil)`` for large mask stacks. It can differ from the
   sequential walk on chains of touching neurons where an early deletion
-  removes the witness of a later conflict; tests quantify the (tiny)
-  divergence on synthetic data.
+  removes the witness of a later conflict (only ever OVER-deleting);
+  tests quantify the (tiny) divergence on synthetic data, and the exact
+  walk stays the default wherever bit-parity with reference targets
+  matters.
 """
 
 import numpy as np

@@ -34,6 +34,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 __all__ = [
+    "auto_backend",
     "movie_summary",
     "movie_summary_fast",
     "movie_summary_pallas",
@@ -237,35 +238,75 @@ def _device_bandwidth_mbps() -> float:
     The device *platform* string cannot distinguish a DMA-attached chip from
     a tunneled remote one (both say 'tpu'); a transfer probe can. The probe
     data is random — compressible zeros overstate tunnel links by ~5x. CPU
-    backends return inf (no transfer cost)."""
+    backends return inf (no transfer cost).
+
+    Drain correctness: the transfer is timed through a HOST FETCH of an
+    on-device checksum, not ``block_until_ready`` — through the tunnel
+    ``block_until_ready`` can return before the device queue drains
+    (docs/VALIDATION.md), which made the original probe read spuriously
+    FAST and misroute StreamingSummary's auto backend to ``device`` on a
+    ~250 MB/s link (the BENCH_r02 ``from_host_fps``=250 regression).
+    Two probes, ``min()``: a spuriously slow reading only routes to the
+    safe host backend; a spuriously fast one ships raw movies over a thin
+    link. 32 MB probes amortize the fixed dispatch+fetch latency so a
+    DMA-attached chip (>10 GB/s) still reads well above the threshold."""
     import time
 
     if jax.devices()[0].platform.lower() == "cpu":
         return float("inf")
+    checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
     probe = np.random.default_rng(0).integers(
-        0, 2**15, (2048, 1024), dtype=np.int16)  # 4 MB, incompressible
-    jax.block_until_ready(jax.device_put(probe))  # warm the path
-    tic = time.perf_counter()
-    jax.block_until_ready(jax.device_put(probe + 1))
-    dt = time.perf_counter() - tic
-    return 4.0 / max(dt, 1e-9)
+        0, 2**15, (16 * 1024, 1024), dtype=np.int16)  # 32 MB, incompressible
+    mb = probe.nbytes / 2**20
+    # Warm the transfer path AND the checksum executable (a compiled
+    # executable's first run through the tunnel costs ~23 s of remote load
+    # — it must not land in the measurement).
+    int(checksum(jax.device_put(probe)))
+    readings = []
+    for i in (1, 2):
+        tic = time.perf_counter()
+        int(checksum(jax.device_put(probe + i)))  # scalar fetch = full drain
+        readings.append(mb / max(time.perf_counter() - tic, 1e-9))
+    return min(readings)
+
+
+def auto_backend() -> tuple[str, float]:
+    """(backend, probe_mbps) the ``backend='auto'`` policy selects right
+    now: ``'device'`` when the measured host->device link exceeds
+    ``DEVICE_BACKEND_MIN_MBPS``, else ``'host'``. Exposed so benchmarks and
+    logs can record WHICH path a streaming run took alongside the probe
+    reading that chose it (a weather-skewed result is then self-diagnosing
+    — see BENCH_r02's undiagnosable ``from_host_fps``)."""
+    mbps = _device_bandwidth_mbps()
+    return ("device" if mbps > DEVICE_BACKEND_MIN_MBPS else "host"), mbps
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
-def _streaming_device_update(s, m, chunk):
+def _streaming_device_update(s, m, chunk, n_valid):
     """Donated device fold of one frame chunk into (sum, max) accumulators.
     Module-level (not a per-instance closure) so jax's global jit cache
     reuses the compiled kernel across StreamingSummary instances — a fresh
-    closure per instance recompiled on every evaluate_movie call."""
-    s = s + jnp.sum(chunk.astype(jnp.float32), axis=0)
-    m = jnp.maximum(m, jnp.max(chunk, axis=0))
+    closure per instance recompiled on every evaluate_movie call.
+
+    ``n_valid`` (traced int32 scalar): frames past it are zero padding from
+    the caller and are masked out of both reductions — so the RAGGED TAIL
+    chunk of a stream reuses the same compiled executable as the full
+    chunks instead of triggering a second compile mid-measurement."""
+    valid = jax.lax.broadcasted_iota(jnp.int32, chunk.shape, 0) < n_valid
+    neg = (jnp.finfo(chunk.dtype).min
+           if jnp.issubdtype(chunk.dtype, jnp.floating)
+           else jnp.iinfo(chunk.dtype).min)
+    s = s + jnp.sum(jnp.where(valid, chunk.astype(jnp.float32), 0.0), axis=0)
+    m = jnp.maximum(m, jnp.max(jnp.where(valid, chunk, neg), axis=0))
     return s, m
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _streaming_device_update_mean(s, chunk):
-    """Mean-only variant (track_max=False)."""
-    return s + jnp.sum(chunk.astype(jnp.float32), axis=0)
+def _streaming_device_update_mean(s, chunk, n_valid):
+    """Mean-only variant (track_max=False); same masking contract."""
+    valid = jax.lax.broadcasted_iota(jnp.int32, chunk.shape, 0) < n_valid
+    return s + jnp.sum(jnp.where(valid, chunk.astype(jnp.float32), 0.0),
+                       axis=0)
 
 
 class StreamingSummary:
@@ -295,6 +336,7 @@ class StreamingSummary:
         consumers (evaluate_movie_streaming) save a full per-frame pass."""
         assert backend in ("auto", "device", "host")
         self.track_max = track_max
+        self.probe_mbps = None
         if backend == "auto":
             # DMA-attached accelerators measure >10 GB/s; tunneled remotes
             # measure 0.25-1 GB/s. The threshold sits well above the tunnel
@@ -303,9 +345,9 @@ class StreamingSummary:
             # plane (measured: bench from_host 294 fps with the device
             # backend at a ~1 GB/s probe vs ~700 fps host on a 1-core
             # host), while host NumPy reduces at memory bandwidth.
-            backend = ("device" if _device_bandwidth_mbps()
-                       > DEVICE_BACKEND_MIN_MBPS else "host")
+            backend, self.probe_mbps = auto_backend()
         self.backend = backend
+        self._chunk_len = None  # first-seen chunk length (device path)
         npdtype = np.dtype(dtype)
         neg = (np.finfo(npdtype).min if np.issubdtype(npdtype, np.floating)
                else np.iinfo(npdtype).min)
@@ -320,17 +362,30 @@ class StreamingSummary:
 
     def update(self, chunk) -> None:
         """chunk: (C, H, W) host array of frames."""
+        n = chunk.shape[0]
         if self.backend == "host":
             self._sum += np.sum(np.asarray(chunk, np.float32), axis=0)
             if self.track_max:
                 np.maximum(self._max, np.max(chunk, axis=0), out=self._max)
-        elif self.track_max:
-            self._sum, self._max = _streaming_device_update(
-                self._sum, self._max, jnp.asarray(chunk))
         else:
-            self._sum = _streaming_device_update_mean(
-                self._sum, jnp.asarray(chunk))
-        self._count += chunk.shape[0]
+            # The jitted update specializes on chunk.shape: a ragged tail
+            # chunk would trigger a second compile mid-stream (~25 s
+            # through a remote-compile service, and it poisoned
+            # BENCH_r02's from_host measurement). Zero-pad to the
+            # first-seen chunk length and mask inside the kernel instead.
+            if self._chunk_len is None:
+                self._chunk_len = n
+            if n < self._chunk_len:
+                pad = np.zeros((self._chunk_len - n,) + chunk.shape[1:],
+                               np.asarray(chunk[:1]).dtype)
+                chunk = np.concatenate([np.asarray(chunk), pad])
+            if self.track_max:
+                self._sum, self._max = _streaming_device_update(
+                    self._sum, self._max, jnp.asarray(chunk), np.int32(n))
+            else:
+                self._sum = _streaming_device_update_mean(
+                    self._sum, jnp.asarray(chunk), np.int32(n))
+        self._count += n
 
     def result(self):
         """(mean float32, max) as host numpy arrays."""

@@ -33,9 +33,21 @@ __all__ = ["make_optimizer", "make_train_step", "make_multi_step",
            "ReduceLROnPlateau", "CosineDecay", "current_lr", "set_lr"]
 
 
-def make_optimizer(learning_rate: float = 2e-3):
+def make_optimizer(learning_rate: float = 2e-3, weight_decay: float = 0.0):
     """Adam(2e-3), the reference default (``unet_2d_summary.py:335``), with
-    an injectable learning rate."""
+    an injectable learning rate.
+
+    ``weight_decay`` > 0 switches to AdamW (decoupled decay) — the
+    TPU-idiomatic counterpart of the L2 kernel regularization the
+    reference's hyperparameter search swept
+    (``notebooks/unet2ds_random_hyperparameter_search.ipynb``, Keras
+    ``l2(λ)`` on conv kernels). Decoupled decay is not literally Keras L2
+    (which adds λ‖W‖² to the loss and so scales with the LR through Adam's
+    normalizer), but it spans the same capacity-control axis and composes
+    with LR schedules without recompiling."""
+    if weight_decay:
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=weight_decay)
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 

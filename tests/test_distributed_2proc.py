@@ -1,0 +1,95 @@
+"""Two-process ``jax.distributed`` train step == single-process step.
+
+The first multi-PROCESS evidence for parallel/distributed.py (SURVEY §2.2
+'jax.distributed + DCN'; VERDICT r2 missing #2): everything else in the
+suite exercises the degenerate single-process form of
+``initialize``/``global_batch_from_local``. Here two real OS processes
+(2 virtual CPU devices each) form a 4-device global mesh over a localhost
+coordinator, each feeds only its own half of the batch, and one GSPMD
+train step's loss must match the same step computed single-process.
+
+Skips (not fails) when the coordinator cannot start — port binding is
+environment-dependent.
+"""
+
+import functools
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_step_matches_single(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "rank0.json")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p)
+    # The worker forces jax_platforms=cpu itself; scrub any conflicting
+    # platform pins from the parent test env.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(port), str(rank), out],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for rank in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            so, se = p.communicate(timeout=420)
+            outs.append((p.returncode, so, se))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("two-process jax.distributed run timed out "
+                    "(coordinator/collectives unavailable here)")
+
+    if any(rc != 0 for rc, _, _ in outs):
+        msgs = "\n".join(se[-2000:] for _, _, se in outs)
+        if any(k in msgs for k in ("bind", "address already in use",
+                                   "DEADLINE_EXCEEDED", "UNAVAILABLE")):
+            pytest.skip(f"distributed init failed in this environment:\n"
+                        f"{msgs[-500:]}")
+        raise AssertionError(f"worker failed:\n{msgs}")
+
+    with open(out) as fp:
+        res = json.load(fp)
+    assert res["nproc"] == 2
+    assert res["ndev"] == 4 and res["local_ndev"] == 2
+
+    # Single-process oracle: the SAME deterministic batch and step, no mesh.
+    from deepcalcium_tpu.models import unet1d
+    from deepcalcium_tpu.ops import losses as L
+    from deepcalcium_tpu.train import trainer as T
+
+    gen = np.random.default_rng(0)
+    xg = gen.standard_normal((8, 64)).astype(np.float32)
+    yg = (gen.random((8, 64)) < 0.1).astype(np.float32)
+    params, state = unet1d.init(jax.random.PRNGKey(0), nfb=4)
+    optimizer = T.make_optimizer(2e-3)
+    opt_state = optimizer.init(params)
+    apply_fn = functools.partial(unet1d.apply, margin=4)
+    step = T.make_train_step(
+        apply_fn,
+        functools.partial(L.weighted_binary_crossentropy, weightpos=2.0),
+        optimizer, metric_fns=dict(L.SPIKE_METRICS))
+    _, _, _, met = step(params, state, opt_state, xg, yg,
+                        jax.random.PRNGKey(1))
+    # Sharded global-batch reductions reassociate floats; tolerance only.
+    np.testing.assert_allclose(res["loss"], float(met["loss"]),
+                               rtol=2e-5, atol=2e-5)

@@ -55,6 +55,62 @@ def test_streaming_summary(movie):
     np.testing.assert_array_equal(mx, movie.max(0))
 
 
+def test_streaming_ragged_tail_stable_shapes(movie):
+    """The device path must fold a ragged tail chunk through the SAME
+    compiled executable as the full chunks (zero-pad + in-kernel mask) —
+    a second mid-stream compile poisoned BENCH_r02's from_host metric."""
+    from deepcalcium_tpu.ops.summary import (_streaming_device_update,
+                                             _streaming_device_update_mean)
+
+    for fn in (_streaming_device_update, _streaming_device_update_mean):
+        fn.clear_cache()
+    ss = StreamingSummary(movie.shape[1:], dtype=movie.dtype,
+                          backend="device")
+    for i in range(0, movie.shape[0], 10):  # 37 frames -> tail of 7
+        ss.update(movie[i : i + 10])
+    assert ss._chunk_len == 10
+    mean, mx = ss.result()
+    np.testing.assert_allclose(mean, movie.mean(0), rtol=1e-5)
+    np.testing.assert_array_equal(mx, movie.max(0))
+    assert _streaming_device_update._cache_size() == 1
+    assert _streaming_device_update_mean._cache_size() == 0
+
+    # Mean-only variant, same contract.
+    ss = StreamingSummary(movie.shape[1:], dtype=movie.dtype,
+                          backend="device", track_max=False)
+    for i in range(0, movie.shape[0], 10):
+        ss.update(movie[i : i + 10])
+    mean, _ = ss.result()
+    np.testing.assert_allclose(mean, movie.mean(0), rtol=1e-5)
+    assert _streaming_device_update_mean._cache_size() == 1
+
+
+def test_streaming_all_negative_max_masked(rng):
+    """Zero-padded tail frames must not leak 0 into an all-negative max."""
+    movie = rng.integers(-3000, -100, size=(13, 8, 16)).astype(np.int16)
+    ss = StreamingSummary(movie.shape[1:], dtype=movie.dtype,
+                          backend="device")
+    ss.update(movie[:10])
+    ss.update(movie[10:])  # ragged 3-frame tail, padded with zeros
+    mean, mx = ss.result()
+    assert mx.max() < 0
+    np.testing.assert_array_equal(mx, movie.max(0))
+    np.testing.assert_allclose(mean, movie.mean(0), rtol=1e-5)
+
+
+def test_auto_backend_reports_probe():
+    from deepcalcium_tpu.ops.summary import auto_backend
+
+    backend, mbps = auto_backend()
+    assert backend in ("host", "device")
+    assert mbps > 0
+    # CPU backend: transfers are free -> device.
+    if jax.devices()[0].platform.lower() == "cpu":
+        assert backend == "device" and mbps == float("inf")
+    ss = StreamingSummary((4, 8), backend="auto")
+    assert ss.backend == backend and ss.probe_mbps == mbps
+
+
 def test_sharded_summary_matches_single_device(rng):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))

@@ -79,6 +79,37 @@ def test_fit_predict_random_split(tmp_path):
     assert preds[0].dtype == np.uint8
 
 
+def test_fit_k_step_dispatch(tmp_path, caplog):
+    """steps_per_dispatch=2: K batches fold through one lax.scan dispatch
+    (the 2-D loop's dispatch-gap fix, carried to the 1-D fit); training
+    must complete with finite metrics, and predict(fast='auto') must log
+    the T-packed dispatch."""
+    import functools
+    import logging
+
+    paths = [make_spikes_hdf5(str(tmp_path / f"sp{i}.hdf5"),
+                              name=f"spikes.{i}", nb_traces=8, trace_len=256,
+                              seed=10 + i) for i in range(2)]
+    model = UNet1DSegmentation(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet1d.init, nfb=4))
+    # 16 traces * 0.8 = 12 train -> ceil(12/8) = 2 steps/epoch; K=2 divides.
+    mt, mv, best = model.fit(paths, shape=(128,), error_margin=4, batch=8,
+                             nb_epochs=2, val_type="random_split", seed=3,
+                             steps_per_dispatch=2)
+    assert best is not None
+    assert all(np.isfinite(v) for v in mv.values())
+
+    # K must divide the per-epoch step count.
+    with pytest.raises(AssertionError, match="steps_per_dispatch"):
+        model.fit(paths, shape=(128,), error_margin=4, batch=8, nb_epochs=1,
+                  val_type="random_split", seed=3, steps_per_dispatch=3)
+
+    with caplog.at_level(logging.INFO):
+        model.predict(paths, best, batch=8, fast="auto")
+    assert any("T-packed" in r.message for r in caplog.records)
+
+
 def test_fit_cross_validate(tmp_path):
     import functools
 
