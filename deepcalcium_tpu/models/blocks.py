@@ -76,10 +76,18 @@ def init_conv1d(key, ksize, cin, cout):
 
 def init_tconv(key, cin, cout, init_scheme: str = "he_normal"):
     """2x2-stride-2 transpose conv; kernel stored HWOI like Keras
-    Conv2DTranspose (kh, kw, out_channels, in_channels)."""
+    Conv2DTranspose (kh, kw, out_channels, in_channels).
+
+    Fan convention: Keras ``_compute_fans`` reads the raw kernel shape
+    without knowing transpose semantics, so on the HWOI layout
+    fan_in = rf * out_channels and fan_out = rf * in_channels — NOT the
+    dataflow fans. Reproduced as-is (the reference inits its
+    Conv2DTranspose with Keras ``he_normal``, ``unet_2d_summary.py:156``),
+    so ``he_*`` tconv scales match Keras exactly; the quirk is
+    deliberate, not a bug."""
     return {
-        "kernel": kernel_init(key, (2, 2, cout, cin), 2 * 2 * cin,
-                              2 * 2 * cout, init_scheme),
+        "kernel": kernel_init(key, (2, 2, cout, cin), 2 * 2 * cout,
+                              2 * 2 * cin, init_scheme),
         "bias": jnp.zeros((cout,), jnp.float32),
     }
 

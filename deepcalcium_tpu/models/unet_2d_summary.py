@@ -490,7 +490,21 @@ class UNet2DSummary:
     # -------------------------------------------------------------- predict
 
     def _load_params(self, model_path):
-        """Load (params, state) from a native .ckpt or a Keras .hdf5."""
+        """Load (params, state) from a native .ckpt or a Keras .hdf5.
+
+        ``model_path='latest'`` resolves to the newest checkpoint in this
+        model's ``cpdir`` — same convention as ``fit`` (predict/evaluate/
+        segment accept it too, so "train then predict" needs no filename
+        plumbing)."""
+        if model_path == "latest":
+            from deepcalcium_tpu.train.checkpoints import latest_checkpoint
+
+            resolved = latest_checkpoint(self.cpdir)
+            if resolved is None:
+                raise FileNotFoundError(
+                    f"model_path='latest' but no checkpoint exists in "
+                    f"{self.cpdir}")
+            model_path = resolved
         if str(model_path).endswith((".hdf5", ".h5")):
             from deepcalcium_tpu.interop.keras_import import load_unet2ds_keras
 
@@ -554,13 +568,16 @@ class UNet2DSummary:
                     window=window_shape, tta=tta, threshold=threshold,
                     mesh=mesh)
             return mask, prob
-        if isinstance(movie, np.ndarray) and auto_backend()[0] == "host":
+        if isinstance(movie, np.ndarray):
+            backend, probe_mbps = auto_backend()
+        else:
+            backend = None
+        if backend == "host":
             # Host array behind a thin link (tunneled remote chip): reduce
             # on host, ship 1 MB instead of the whole movie.
             logger.info(
                 "host movie behind a thin link (probe %.0f MB/s): streaming "
-                "evaluate (host summary + 1 image transfer)",
-                auto_backend()[1])
+                "evaluate (host summary + 1 image transfer)", probe_mbps)
             mask, prob, _ = evaluate_movie_streaming(
                 apply_fn, params, state, movie, window=window_shape,
                 tta=tta, threshold=threshold, mesh=mesh)

@@ -264,8 +264,13 @@ def _device_bandwidth_mbps() -> float:
     int(checksum(jax.device_put(probe)))
     readings = []
     for i in (1, 2):
+        # Materialize the fresh buffer BEFORE the clock starts: the numpy
+        # add is ~96 MB of host memory traffic, which on a fast DMA link
+        # would dominate the measurement and cap the reading at host-add
+        # bandwidth (misrouting real TPU VMs to the host backend).
+        probe_i = probe + i
         tic = time.perf_counter()
-        int(checksum(jax.device_put(probe + i)))  # scalar fetch = full drain
+        int(checksum(jax.device_put(probe_i)))  # scalar fetch = full drain
         readings.append(mb / max(time.perf_counter() - tic, 1e-9))
     return min(readings)
 

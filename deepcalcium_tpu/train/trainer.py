@@ -44,10 +44,22 @@ def make_optimizer(learning_rate: float = 2e-3, weight_decay: float = 0.0):
     ``l2(λ)`` on conv kernels). Decoupled decay is not literally Keras L2
     (which adds λ‖W‖² to the loss and so scales with the LR through Adam's
     normalizer), but it spans the same capacity-control axis and composes
-    with LR schedules without recompiling."""
+    with LR schedules without recompiling. Like the reference's ``l2`` —
+    which Keras applies to conv KERNELS only — decay is masked to
+    ``kernel`` leaves: biases and BN gamma/beta are never decayed (decaying
+    BN scale toward 0 distorts normalization statistics rather than
+    controlling capacity)."""
     if weight_decay:
-        return optax.inject_hyperparams(optax.adamw)(
-            learning_rate=learning_rate, weight_decay=weight_decay)
+        def kernels_only(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: path[-1].key == "kernel", params)
+
+        # static_args: without it inject_hyperparams mistakes the callable
+        # mask for an LR-style schedule and calls it on the step count.
+        return optax.inject_hyperparams(optax.adamw,
+                                        static_args=("mask",))(
+            learning_rate=learning_rate, weight_decay=weight_decay,
+            mask=kernels_only)
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 

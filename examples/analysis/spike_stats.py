@@ -31,7 +31,7 @@ logging.basicConfig(level=logging.INFO)
 def corpus_stats(paths, prop_trn=0.8, seed=865):
     """Per-dataset + corpus statistics dict (the notebook's cell-3 table)."""
     rows = []
-    all_counts, all_rates, all_lens = [], [], []
+    all_counts, all_rates = [], []
     for p in paths:
         with h5py.File(p, "r") as fp:
             name = fp.attrs["name"]
@@ -49,7 +49,6 @@ def corpus_stats(paths, prop_trn=0.8, seed=865):
         })
         all_counts.append(counts)
         all_rates.append(counts / tlen)
-        all_lens.append(np.full(len(counts), tlen))
     counts = np.concatenate(all_counts)
     rates = np.concatenate(all_rates)
     n = len(counts)

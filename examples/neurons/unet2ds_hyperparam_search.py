@@ -35,6 +35,16 @@ import numpy as np
 
 logging.basicConfig(level=logging.INFO)
 
+# Persist compiled executables across runs/restarts: the search touches ~24
+# distinct (window, nfb, batch, up_mode) trace shapes and remote compiles
+# cost minutes each; a killed sweep resumes compile-warm.
+import jax as _jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "..", ".jax_compile_cache")
+_jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 SPACE = {
     "window": [48, 64, 96],
     "learning_rate": [1e-2, 2e-3, 1e-3, 5e-4],
