@@ -513,6 +513,29 @@ def test_resume_latest_empty_dir_raises(fixture_paths, tmp_path, tiny_model):
                   shape_trn=(48, 48), shape_val=(96, 96), nb_epochs=1)
 
 
+def test_predict_latest_resolution(tmp_path, tiny_model):
+    """predict/_load_params accept model_path='latest' like fit does."""
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cp"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    # Empty cpdir: loud error, same contract as fit's resume.
+    with pytest.raises(FileNotFoundError):
+        model._load_params("latest")
+    # Save one checkpoint, then 'latest' resolves to it.
+    from deepcalcium_tpu.train.checkpoints import save_checkpoint
+
+    params0, state0 = init_fn(jax.random.PRNGKey(0))
+    os.makedirs(model.cpdir, exist_ok=True)
+    save_checkpoint(os.path.join(model.cpdir, "model_00_0.500.ckpt"),
+                    params0, state0)
+    params, state = model._load_params("latest")
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(params0)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
 def test_cosine_decay_endpoints():
     """Cosine schedule: starts at base_lr, ends at min_lr, monotone."""
     cos = T.CosineDecay(2e-3, total_epochs=10, min_lr=1e-4)
