@@ -54,6 +54,7 @@ def main():
 
     model = UNet1DSegmentation(compute_dtype=jnp.bfloat16)
     gen0 = model._batch_gen(traces, spikes, (WLEN,), BATCH, MARGIN, 0)
+    next(gen0)  # first call compiles the margin-pool jit — not generator cost
     tic = time.perf_counter()
     for _ in range(30):
         next(gen0)

@@ -105,6 +105,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--win", type=int, default=128)
+    ap.add_argument("--batches", type=int, nargs="*", default=[20, 32, 64, 128],
+                    help="batch sizes for the scaling section (shrink for "
+                    "large --win: same-pixel equivalents of the 128² row)")
+    ap.add_argument("--skip-ablations", action="store_true",
+                    help="only run the batch-scaling section")
     args = ap.parse_args()
 
     from deepcalcium_tpu.models import blocks
@@ -112,10 +117,12 @@ def main():
 
     fast = functools.partial(apply_fast_w_train, compute_dtype=jnp.bfloat16)
 
-    print("== batch scaling (W-packed, drp=0.25, threefry) ==")
-    for batch in (20, 32, 64, 128):
+    print(f"== batch scaling (W-packed, drp=0.25, threefry, win {args.win}) ==")
+    for batch in args.batches:
         dt = measure_step(fast, batch, args.win, args.k)
-        report(f"batch {batch}", dt, batch, args.win)
+        report(f"batch {batch} win {args.win}", dt, batch, args.win)
+    if args.skip_ablations:
+        return
 
     print("== PRNG impl at batch 20 and 64 ==")
     for batch in (20, 64):
