@@ -142,52 +142,17 @@ def main():
 
     # --- Training throughput + MFU (the reference recipe shape: batch 20
     # @ 128² bf16, W-packed gradient step — fit(fast_train="auto")'s
-    # dispatch). Device step time by the slope method ACROSS lax.scan
-    # lengths, which cancels the tunnel's constant dispatch+fetch latency
-    # (train_step_ab_bench.py methodology; docs/VALIDATION.md round 2).
+    # dispatch). Shared slope-method harness with train_mfu_sweep.py:
+    # steps inside lax.scan, per-step time from the K=12-vs-2 difference
+    # (cancels tunnel dispatch+fetch latency), two warm dispatches per
+    # shape (docs/VALIDATION.md round 2, train_step_ab_bench.py).
     from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
-    from deepcalcium_tpu.ops import losses as L
-    from deepcalcium_tpu.train import trainer as T
+    from deepcalcium_tpu.utils.benchtools import slope_train_step_time
 
     tb, twin = 20, 128
     apply_tr = functools.partial(apply_fast_w_train,
                                  compute_dtype=jnp.bfloat16)
-    optimizer = T.make_optimizer(2e-3)
-    tstep = T.make_train_step(apply_tr, L.LOSSES["binary_crossentropy"],
-                              optimizer)
-    opt_state = jax.device_put(optimizer.init(jax.device_get(params)),
-                               jax.devices()[0])
-
-    def scan_steps(p, s, o, key, xs_k, ys_k):
-        def body(carry, xy):
-            p, s, o, key = carry
-            key, sub = jax.random.split(key)
-            p, s, o, logs = tstep(p, s, o, xy[0], xy[1], sub)
-            return (p, s, o, key), logs["loss"]
-
-        (_, _, _, _), losses = jax.lax.scan(body, (p, s, o, key),
-                                            (xs_k, ys_k))
-        return losses
-
-    scan_fn = jax.jit(scan_steps)
-    kmax, kmin = 12, 2
-    rng_np = np.random.default_rng(0)
-    xs_all = jnp.asarray(rng_np.standard_normal((kmax, tb, twin, twin)),
-                         jnp.float32)
-    ys_all = jnp.asarray(rng_np.random((kmax, tb, twin, twin)) < 0.1,
-                         jnp.float32)
-    ttimes = {}
-    for k in (kmin, kmax):
-        xk, yk = xs_all[:k], ys_all[:k]
-        for _ in range(2):  # compile + first-run executable load
-            float(jnp.sum(scan_fn(params, state, opt_state,
-                                  jax.random.PRNGKey(7), xk, yk)))
-        tic = time.perf_counter()
-        for _ in range(3):
-            float(jnp.sum(scan_fn(params, state, opt_state,
-                                  jax.random.PRNGKey(7), xk, yk)))
-        ttimes[k] = (time.perf_counter() - tic) / 3
-    dt_train = (ttimes[kmax] - ttimes[kmin]) / (kmax - kmin)
+    dt_train = slope_train_step_time(apply_tr, tb, twin)
     # Analytic train-step FLOPs: fwd + input-grad + weight-grad conv passes
     # ≈ 3x the forward's conv FLOPs per window (standard accounting; BN/
     # metric/Adam elementwise ops are bandwidth-bound, <2% of arithmetic).

@@ -29,8 +29,18 @@ BN_EPS = 1e-3  # Keras 2.0.6 BatchNormalization default epsilon.
 # Initializers
 # ---------------------------------------------------------------------------
 
+def _truncated_normal(key, shape, stddev):
+    """Keras-2.0.6 ``K.truncated_normal``: standard normal truncated at
+    ±2σ, scaled by ``stddev``. The reference pins Keras 2.0.6, whose
+    VarianceScaling draws ``truncated_normal(0, sqrt(scale/fan))`` with NO
+    stddev correction — the 1/0.8796 truncation-variance compensation is a
+    later-Keras (2.2.x) change and deliberately absent here."""
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape,
+                                       jnp.float32) * stddev
+
+
 def he_normal(key, shape, fan_in):
-    return jax.random.normal(key, shape, jnp.float32) * jnp.sqrt(2.0 / fan_in)
+    return _truncated_normal(key, shape, jnp.sqrt(2.0 / fan_in))
 
 
 def kernel_init(key, shape, fan_in, fan_out, scheme: str = "he_normal"):
@@ -38,7 +48,8 @@ def kernel_init(key, shape, fan_in, fan_out, scheme: str = "he_normal"):
     hyperparameter search swept over Keras initializers
     (``notebooks/unet2ds_random_hyperparameter_search.ipynb``).
 
-    Schemes (Keras-faithful scale conventions): ``he_normal`` (the
+    Schemes (Keras-2.0.6-faithful: normal schemes are ±2σ TRUNCATED
+    normals — see :func:`_truncated_normal`): ``he_normal`` (the
     reference model default, ``unet_2d_summary.py``), ``he_uniform``,
     ``glorot_uniform``, ``glorot_normal``.
     """
@@ -51,8 +62,8 @@ def kernel_init(key, shape, fan_in, fan_out, scheme: str = "he_normal"):
         lim = jnp.sqrt(6.0 / (fan_in + fan_out))
         return jax.random.uniform(key, shape, jnp.float32, -lim, lim)
     if scheme == "glorot_normal":
-        return jax.random.normal(key, shape, jnp.float32) * jnp.sqrt(
-            2.0 / (fan_in + fan_out))
+        return _truncated_normal(key, shape,
+                                 jnp.sqrt(2.0 / (fan_in + fan_out)))
     raise ValueError(f"unknown init scheme: {scheme!r}")
 
 

@@ -541,9 +541,15 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
         """Keras-semantics BN with per-ORIGINAL-channel statistics on an
         (…, r*c) packed tensor ((q, c)-major)."""
         c = y.shape[-1] // r
-        y5 = y.astype(jnp.float32).reshape(*y.shape[:-1], r, c)
-        mean = jnp.mean(y5, axis=tuple(range(y5.ndim - 1)))
-        var = jnp.var(y5, axis=tuple(range(y5.ndim - 1)))
+        # Honor blocks.BN_STATS_F32 exactly like blocks.batch_norm does:
+        # the train_mfu_sweep ablation flips it, and the packed layers
+        # carry the LARGEST activations (enc0*/dec0* at full resolution),
+        # so ignoring it here would make the ablation compare
+        # mostly-unchanged graphs.
+        ys = y.astype(jnp.float32) if B.BN_STATS_F32 else y
+        y5 = ys.reshape(*y.shape[:-1], r, c)
+        mean = jnp.mean(y5, axis=tuple(range(y5.ndim - 1))).astype(jnp.float32)
+        var = jnp.var(y5, axis=tuple(range(y5.ndim - 1))).astype(jnp.float32)
         new_s = {"mean": momentum * s_bn["mean"] + (1.0 - momentum) * mean,
                  "var": momentum * s_bn["var"] + (1.0 - momentum) * var}
         inv = jax.lax.rsqrt(var + B.BN_EPS) * p_bn["gamma"]

@@ -229,18 +229,9 @@ class UNet1DSegmentation:
         # Prefetch with host->device transfer on the producer thread (same
         # machinery as the 2-D fit: train/sampler.py::Prefetcher); K-step
         # dispatch stacks K batches into one (K, B, T) slab per dispatch.
-        from deepcalcium_tpu.train.sampler import Prefetcher
+        from deepcalcium_tpu.train.sampler import Prefetcher, stack_batches
 
-        if kdisp > 1:
-            def _stacked(g=gen):
-                while True:
-                    bs = [next(g) for _ in range(kdisp)]
-                    yield (np.stack([b[0] for b in bs]),
-                           np.stack([b[1] for b in bs]))
-
-            batch_gen = _stacked()
-        else:
-            batch_gen = gen
+        batch_gen = stack_batches(gen, kdisp) if kdisp > 1 else gen
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

@@ -37,7 +37,8 @@ from deepcalcium_tpu.train.callbacks import CSVMetricsLogger, plot_metrics_grid
 from deepcalcium_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from deepcalcium_tpu.train.evaluate import (make_movie_evaluator,
                                             predict_batched, predict_tta)
-from deepcalcium_tpu.train.sampler import Prefetcher, WindowSampler
+from deepcalcium_tpu.train.sampler import (Prefetcher, WindowSampler,
+                                            stack_batches)
 from deepcalcium_tpu.utils.config import checkpoints_dir
 from deepcalcium_tpu.utils.runtime import funcname
 
@@ -293,16 +294,8 @@ class UNet2DSummary:
         # thread stacks K batches into one (K, B, ...) slab per dispatch.
         sampler = WindowSampler(S, M, names, yctrn, shape_trn,
                                 nb_max_augment=nb_max_augment, seed=seed)
-        if kdisp > 1:
-            def _stacked(gen=sampler.batches(batch_size_trn)):
-                while True:
-                    bs = [next(gen) for _ in range(kdisp)]
-                    yield (np.stack([b[0] for b in bs]),
-                           np.stack([b[1] for b in bs]))
-
-            batch_gen = _stacked()
-        else:
-            batch_gen = sampler.batches(batch_size_trn)
+        raw_gen = sampler.batches(batch_size_trn)
+        batch_gen = stack_batches(raw_gen, kdisp) if kdisp > 1 else raw_gen
         # Host->device transfer on the producer thread so it overlaps the
         # previous step's compute (measured: the synchronous transfer costs
         # ~10 ms/step through a thin link; docs/VALIDATION.md round 2).
@@ -578,9 +571,13 @@ class UNet2DSummary:
             logger.info(
                 "host movie behind a thin link (probe %.0f MB/s): streaming "
                 "evaluate (host summary + 1 image transfer)", probe_mbps)
+            # Pass the decision down: the log line above and the stream's
+            # actual route must come from the SAME probe reading (a fresh
+            # 'auto' inside StreamingSummary could diverge if the cached
+            # probe were ever invalidated between the two calls).
             mask, prob, _ = evaluate_movie_streaming(
                 apply_fn, params, state, movie, window=window_shape,
-                tta=tta, threshold=threshold, mesh=mesh)
+                tta=tta, threshold=threshold, mesh=mesh, backend="host")
             return mask, prob
         evaluator = make_movie_evaluator(
             apply_fn, movie.shape, window=window_shape, tta=tta,

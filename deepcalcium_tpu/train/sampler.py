@@ -112,6 +112,17 @@ class WindowSampler:
             yield self.sample_batch(batch_size)
 
 
+def stack_batches(gen, k: int):
+    """Stack ``k`` consecutive (x, y) batches from ``gen`` into one
+    (k, B, ...) slab pair — the feeder for ``steps_per_dispatch=k``
+    K-scan dispatch (``trainer.make_multi_step``). Runs on the producer
+    side (typically inside a :class:`Prefetcher` thread)."""
+    while True:
+        bs = [next(gen) for _ in range(k)]
+        yield (np.stack([b[0] for b in bs]),
+               np.stack([b[1] for b in bs]))
+
+
 class Prefetcher:
     """Background-thread batch producer with a bounded queue.
 

@@ -1,0 +1,79 @@
+"""Shared measurement harness for training-step throughput.
+
+One implementation of the slope-method train-step timer used by both
+``bench.py`` (the driver benchmark) and
+``examples/analysis/train_mfu_sweep.py`` (the lever sweep), so a
+methodology fix lands in both (docs/VALIDATION.md "Timing gotchas": the
+tunnel's dispatch+fetch latency and first-run executable load have each
+silently corrupted a committed number before).
+
+Methodology (docs/VALIDATION.md round 2, ``train_step_ab_bench.py``):
+- steps run inside ``lax.scan`` so K steps cost ONE dispatch;
+- per-step device time = (time(K=k) - time(K=kmin)) / (k - kmin), which
+  cancels the constant per-dispatch latency of a tunneled chip;
+- every compiled shape is dispatched TWICE before timing (compile, then
+  the ~23 s first-run remote executable load);
+- the loss sum is fetched to host each rep — ``block_until_ready`` alone
+  can return before the tunnel drains.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_train_step_time(apply_fn, batch, win, *, k=12, kmin=2, reps=3,
+                          nfb=32, rng_impl="threefry2x32", lr=2e-3,
+                          loss="binary_crossentropy"):
+    """Measured device seconds per training step for one config.
+
+    ``apply_fn``: a train-signature forward (e.g. ``unet2d.apply`` or
+    ``unet2d_fast.apply_fast_w_train``, usually with ``compute_dtype``
+    bound). Params are initialized on the CPU backend (device-side init
+    costs ~25 s of tiny RNG kernels through a remote-compile service) and
+    transferred once.
+    """
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.ops import losses as L
+    from deepcalcium_tpu.train import trainer as T
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params, state = unet2d.init(jax.random.PRNGKey(0), nfb=nfb)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    state = jax.device_put(state, dev)
+    optimizer = T.make_optimizer(lr)
+    opt_state = jax.device_put(optimizer.init(jax.device_get(params)), dev)
+    step = T.make_train_step(apply_fn, L.LOSSES[loss], optimizer)
+
+    rng_np = np.random.default_rng(0)
+    xs = jnp.asarray(rng_np.standard_normal((k, batch, win, win)),
+                     jnp.float32)
+    ys = jnp.asarray(rng_np.random((k, batch, win, win)) < 0.1, jnp.float32)
+
+    def scan_steps(p, s, o, key, xs_k, ys_k):
+        def body(carry, xy):
+            p, s, o, key = carry
+            key, sub = jax.random.split(key)
+            p, s, o, logs = step(p, s, o, xy[0], xy[1], sub)
+            return (p, s, o, key), logs["loss"]
+
+        (_, _, _, _), losses = jax.lax.scan(body, (p, s, o, key),
+                                            (xs_k, ys_k))
+        return losses
+
+    fn = jax.jit(scan_steps)
+    key0 = jax.random.key(7, impl=rng_impl)
+    times = {}
+    for kk in (kmin, k):
+        xk, yk = xs[:kk], ys[:kk]
+        for _ in range(2):  # compile + first-run executable load
+            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
+        tic = time.perf_counter()
+        for _ in range(reps):
+            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
+        times[kk] = (time.perf_counter() - tic) / reps
+    return (times[k] - times[kmin]) / (k - kmin)

@@ -36,7 +36,7 @@ from deepcalcium_tpu.models import unet1d
 from deepcalcium_tpu.models.unet_1d_segmentation import UNet1DSegmentation
 from deepcalcium_tpu.ops import losses as L
 from deepcalcium_tpu.train import trainer as T
-from deepcalcium_tpu.train.sampler import Prefetcher
+from deepcalcium_tpu.train.sampler import Prefetcher, stack_batches
 
 BATCH, WLEN, STEPS, MARGIN = 20, 4096, 96, 4
 
@@ -106,15 +106,9 @@ def main():
         else:
             stepk = T.make_multi_step(apply_fn, loss_fn, opt, k,
                                       metric_fns=dict(L.SPIKE_METRICS))
-
-            def stacked(g=model._batch_gen(traces, spikes, (WLEN,), BATCH,
-                                           MARGIN, 1), k=k):
-                while True:
-                    bs = [next(g) for _ in range(k)]
-                    yield (np.stack([b[0] for b in bs]),
-                           np.stack([b[1] for b in bs]))
-
-            gen = stacked()
+            gen = stack_batches(
+                model._batch_gen(traces, spikes, (WLEN,), BATCH, MARGIN, 1),
+                k)
         prefetch = Prefetcher(
             gen, put_fn=lambda b: tuple(jax.device_put(a) for a in b),
             depth=3)

@@ -24,7 +24,6 @@ Usage: python examples/analysis/train_mfu_sweep.py [--k 12]
 import argparse
 import functools
 import sys
-import time
 
 sys.path.append(".")
 
@@ -38,57 +37,18 @@ _CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
 jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
-import numpy as np
 
 PEAK_TFLOPS = 197.0
 
 
 def measure_step(apply_fn, batch, win, k, kmin=2, drp_rng_impl="threefry2x32",
                  reps=3):
-    """Device ms/step for one train-step config (scan slope)."""
-    from deepcalcium_tpu.ops import losses as L
-    from deepcalcium_tpu.train import trainer as T
-    from deepcalcium_tpu.models import unet2d
+    """Device ms/step for one train-step config (scan slope) — shared
+    harness with bench.py (deepcalcium_tpu.utils.benchtools)."""
+    from deepcalcium_tpu.utils.benchtools import slope_train_step_time
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params, state = unet2d.init(jax.random.PRNGKey(0), nfb=32)
-    dev = jax.devices()[0]
-    params = jax.device_put(params, dev)
-    state = jax.device_put(state, dev)
-    optimizer = T.make_optimizer(2e-3)
-    opt_state = jax.device_put(optimizer.init(jax.device_get(params)), dev)
-    step = T.make_train_step(apply_fn, L.LOSSES["binary_crossentropy"],
-                             optimizer)
-
-    rng_np = np.random.default_rng(0)
-    xs = jnp.asarray(rng_np.standard_normal((k, batch, win, win)),
-                     jnp.float32)
-    ys = jnp.asarray(rng_np.random((k, batch, win, win)) < 0.1, jnp.float32)
-
-    def scan_steps(p, s, o, key, xs_k, ys_k):
-        def body(carry, xy):
-            p, s, o, key = carry
-            key, sub = jax.random.split(key)
-            p, s, o, logs = step(p, s, o, xy[0], xy[1], sub)
-            return (p, s, o, key), logs["loss"]
-
-        (_, _, _, _), losses = jax.lax.scan(body, (p, s, o, key),
-                                            (xs_k, ys_k))
-        return losses
-
-    fn = jax.jit(scan_steps)
-    key0 = jax.random.key(7, impl=drp_rng_impl)
-    times = {}
-    for kk in (kmin, k):
-        xk, yk = xs[:kk], ys[:kk]
-        for _ in range(2):  # compile + first-run executable load
-            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
-        tic = time.perf_counter()
-        for _ in range(reps):
-            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
-        times[kk] = (time.perf_counter() - tic) / reps
-    return (times[k] - times[kmin]) / (k - kmin)
+    return slope_train_step_time(apply_fn, batch, win, k=k, kmin=kmin,
+                                 reps=reps, rng_impl=drp_rng_impl)
 
 
 def report(tag, dt, batch, win):

@@ -124,6 +124,13 @@ def main():
     ap.add_argument("--seed", type=int, default=865)
     args = ap.parse_args()
 
+    # Fail fast: fit asserts this per trial, and the per-trial exception
+    # guard would otherwise turn a bad flag pair into a full-length
+    # all-NaN sweep (hours of fixtures + compiles for nothing).
+    if args.steps % args.steps_per_dispatch != 0:
+        ap.error(f"--steps-per-dispatch {args.steps_per_dispatch} must "
+                 f"divide --steps {args.steps}")
+
     if args.make_fixtures:
         fix_dir = os.path.join(checkpoints_dir(), "search_fixtures_r3")
         paths = make_hard_fixtures(args.make_fixtures, fix_dir,

@@ -585,3 +585,25 @@ def test_predict_tiled_rejects_bad_overlap(tiny_model):
     big = np.zeros((112, 112), np.float32)
     with pytest.raises(ValueError, match="overlap"):
         predict_tiled(fwd, params, state, big, window=(64, 64), overlap=64)
+
+
+def test_stack_batches_slabs_consecutive():
+    """stack_batches(gen, k) must emit (k, B, ...) slabs of k CONSECUTIVE
+    batches, preserving order across calls (the K-scan dispatch feeder —
+    trainer.make_multi_step consumes one slab per dispatch)."""
+    from deepcalcium_tpu.train.sampler import stack_batches
+
+    def gen():
+        i = 0
+        while True:
+            yield (np.full((2, 3), i, np.float32),
+                   np.full((2,), -float(i), np.float32))
+            i += 1
+
+    g = stack_batches(gen(), 3)
+    x, y = next(g)
+    assert x.shape == (3, 2, 3) and y.shape == (3, 2)
+    assert [int(x[j, 0, 0]) for j in range(3)] == [0, 1, 2]
+    x2, y2 = next(g)
+    assert [int(x2[j, 0, 0]) for j in range(3)] == [3, 4, 5]
+    assert float(y2[0, 0]) == -3.0

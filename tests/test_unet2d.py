@@ -196,3 +196,37 @@ def test_remat_matches_plain(small_net):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_kernel_init_keras206_truncated_normal():
+    """Keras-2.0.6 VarianceScaling draws a ±2σ TRUNCATED normal with NO
+    truncation-variance compensation (the 1/0.87962 stddev correction is a
+    later-Keras 2.2.x change). The reference pins Keras 2.0.6
+    (reference requirements.txt), so the *_normal schemes must be hard-
+    bounded at ±2·stddev and land at sample std ≈ 0.8796·stddev."""
+    fan_in, fan_out = 288, 64
+    shape = (200, 1000)
+    for scheme, stddev in (
+            ("he_normal", np.sqrt(2.0 / fan_in)),
+            ("glorot_normal", np.sqrt(2.0 / (fan_in + fan_out)))):
+        k = np.asarray(B.kernel_init(jax.random.PRNGKey(11), shape,
+                                     fan_in, fan_out, scheme))
+        assert np.abs(k).max() <= 2.0 * stddev * (1 + 1e-6), scheme
+        # Uncompensated truncation: std shrinks by the 0.87962 factor.
+        np.testing.assert_allclose(k.std(), 0.87962 * stddev,
+                                   rtol=0.02, err_msg=scheme)
+        assert abs(k.mean()) < 0.05 * stddev, scheme
+
+
+def test_kernel_init_uniform_bounds():
+    """Uniform schemes: exact Keras limits, untouched by the truncation fix."""
+    fan_in, fan_out = 288, 64
+    shape = (200, 1000)
+    for scheme, lim in (("he_uniform", np.sqrt(6.0 / fan_in)),
+                        ("glorot_uniform", np.sqrt(6.0 / (fan_in + fan_out)))):
+        k = np.asarray(B.kernel_init(jax.random.PRNGKey(12), shape,
+                                     fan_in, fan_out, scheme))
+        assert np.abs(k).max() <= lim, scheme
+        # A uniform on [-lim, lim] has std lim/sqrt(3).
+        np.testing.assert_allclose(k.std(), lim / np.sqrt(3.0),
+                                   rtol=0.02, err_msg=scheme)
