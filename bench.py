@@ -35,11 +35,9 @@ import jax.numpy as jnp
 # Persist compiled executables across processes: the one-off XLA compile of
 # the TTA forward costs minutes through the remote-compile service; cached
 # runs start in seconds.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".jax_compile_cache")
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deepcalcium_tpu.utils.benchtools import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 BASELINE_FPS = 8057.0 / 60.0  # reference: 8,057 frames/min end-to-end
 PEAK_TFLOPS = float(os.environ.get("DC_TPU_PEAK_TFLOPS", "197"))  # v5e bf16

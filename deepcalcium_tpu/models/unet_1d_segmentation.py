@@ -214,9 +214,12 @@ class UNet1DSegmentation:
         tr_val = [traces[i] for i in idxs_val]
         sp_val = [spikes[i] for i in idxs_val]
         steps_trn = int(ceil(len(tr_trn) / batch))
-        assert kdisp >= 1 and steps_trn % kdisp == 0, (
-            f"steps_per_dispatch={kdisp} must divide the per-epoch step "
-            f"count ceil(n_train_traces/batch)={steps_trn}")
+        # ValueError, not assert: user-facing knob validation must survive
+        # python -O (a stripped assert would silently train fewer steps).
+        if kdisp < 1 or steps_trn % kdisp != 0:
+            raise ValueError(
+                f"steps_per_dispatch={kdisp} must divide the per-epoch step "
+                f"count ceil(n_train_traces/batch)={steps_trn}")
         if kdisp > 1:
             step = T.make_multi_step(apply_fn, loss_fn, optimizer, kdisp,
                                      metric_fns=metric_fns, mesh=mesh)
@@ -229,22 +232,11 @@ class UNet1DSegmentation:
         # Prefetch with host->device transfer on the producer thread (same
         # machinery as the 2-D fit: train/sampler.py::Prefetcher); K-step
         # dispatch stacks K batches into one (K, B, T) slab per dispatch.
-        from deepcalcium_tpu.train.sampler import Prefetcher, stack_batches
+        from deepcalcium_tpu.train.sampler import (Prefetcher, make_put_fn,
+                                                    stack_batches)
 
         batch_gen = stack_batches(gen, kdisp) if kdisp > 1 else gen
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            bdim = 1 if kdisp > 1 else 0
-            def put_fn(b, _m=mesh, _d=bdim):
-                def sh(x):
-                    spec = PartitionSpec(
-                        *([None] * _d), "data", *([None] * (x.ndim - _d - 1)))
-                    return jax.device_put(x, NamedSharding(_m, spec))
-                return tuple(sh(a) for a in b)
-        else:
-            put_fn = lambda b: tuple(jax.device_put(a) for a in b)
-        prefetch = Prefetcher(batch_gen, put_fn=put_fn)
+        prefetch = Prefetcher(batch_gen, put_fn=make_put_fn(mesh, kdisp))
         # Fixed validation batch: two windows from every val trace (:283-284).
         x_val, y_val = next(self._batch_gen(
             tr_val, sp_val, shape, len(tr_val) * 2, margin, seed + 1))

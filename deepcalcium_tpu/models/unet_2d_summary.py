@@ -38,7 +38,7 @@ from deepcalcium_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from deepcalcium_tpu.train.evaluate import (make_movie_evaluator,
                                             predict_batched, predict_tta)
 from deepcalcium_tpu.train.sampler import (Prefetcher, WindowSampler,
-                                            stack_batches)
+                                            make_put_fn, stack_batches)
 from deepcalcium_tpu.utils.config import checkpoints_dir
 from deepcalcium_tpu.utils.runtime import funcname
 
@@ -280,9 +280,12 @@ class UNet2DSummary:
                                           (shape_trn, shape_val),
                                           train=True, remat=self.remat)
         kdisp = int(steps_per_dispatch)
-        assert kdisp >= 1 and nb_steps_trn % kdisp == 0, (
-            f"steps_per_dispatch={kdisp} must divide nb_steps_trn="
-            f"{nb_steps_trn}")
+        # ValueError, not assert: user-facing knob validation must survive
+        # python -O (a stripped assert would silently train fewer steps).
+        if kdisp < 1 or nb_steps_trn % kdisp != 0:
+            raise ValueError(
+                f"steps_per_dispatch={kdisp} must divide nb_steps_trn="
+                f"{nb_steps_trn}")
         if kdisp > 1:
             step = T.make_multi_step(apply_fn, loss_fn, optimizer, kdisp,
                                      ema_decay=ema_decay, mesh=mesh)
@@ -299,21 +302,7 @@ class UNet2DSummary:
         # Host->device transfer on the producer thread so it overlaps the
         # previous step's compute (measured: the synchronous transfer costs
         # ~10 ms/step through a thin link; docs/VALIDATION.md round 2).
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            # K-stacked batches are (K, B, ...): the BATCH axis (dim 1)
-            # shards; plain batches shard dim 0.
-            bdim = 1 if kdisp > 1 else 0
-            def put_fn(b, _m=mesh, _d=bdim):
-                def sh(x):
-                    spec = PartitionSpec(
-                        *([None] * _d), "data", *([None] * (x.ndim - _d - 1)))
-                    return jax.device_put(x, NamedSharding(_m, spec))
-                return tuple(sh(a) for a in b)
-        else:
-            put_fn = lambda b: tuple(jax.device_put(a) for a in b)
-        prefetch = Prefetcher(batch_gen, put_fn=put_fn)
+        prefetch = Prefetcher(batch_gen, put_fn=make_put_fn(mesh, kdisp))
 
         # Observability.
         tic = int(time.time())

@@ -380,6 +380,14 @@ class StreamingSummary:
             # first-seen chunk length and mask inside the kernel instead.
             if self._chunk_len is None:
                 self._chunk_len = n
+            if n > self._chunk_len:
+                # A chunk LARGER than the first-seen one would specialize a
+                # NEW executable just like a ragged tail would (same ~25 s
+                # mid-stream compile class) — split it into first-seen-size
+                # slabs instead; a short final slab pads below.
+                for i in range(0, n, self._chunk_len):
+                    self.update(chunk[i:i + self._chunk_len])
+                return
             if n < self._chunk_len:
                 pad = np.zeros((self._chunk_len - n,) + chunk.shape[1:],
                                np.asarray(chunk[:1]).dtype)

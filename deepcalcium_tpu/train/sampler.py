@@ -112,6 +112,33 @@ class WindowSampler:
             yield self.sample_batch(batch_size)
 
 
+def make_put_fn(mesh=None, kdisp: int = 1):
+    """Producer-thread host->device transfer for :class:`Prefetcher`.
+
+    With a ``mesh``, shards the BATCH axis over the mesh's ``data`` axis —
+    dim 1 for the (K, B, ...) slabs :func:`stack_batches` emits when
+    ``kdisp > 1``, dim 0 for plain (B, ...) batches. Without a mesh, a
+    plain single-device ``device_put``. One implementation for the 2-D and
+    1-D fit loops (their sharding feeders must not diverge)."""
+    import jax
+
+    if mesh is None:
+        return lambda b: tuple(jax.device_put(a) for a in b)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    bdim = 1 if kdisp > 1 else 0
+
+    def put_fn(b):
+        def sh(x):
+            spec = PartitionSpec(
+                *([None] * bdim), "data", *([None] * (x.ndim - bdim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return tuple(sh(a) for a in b)
+
+    return put_fn
+
+
 def stack_batches(gen, k: int):
     """Stack ``k`` consecutive (x, y) batches from ``gen`` into one
     (k, B, ...) slab pair — the feeder for ``steps_per_dispatch=k``

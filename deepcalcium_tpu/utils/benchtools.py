@@ -17,11 +17,31 @@ Methodology (docs/VALIDATION.md round 2, ``train_step_ab_bench.py``):
   can return before the tunnel drains.
 """
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Repo root (this file lives at deepcalcium_tpu/utils/).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def enable_compile_cache(min_compile_secs: float = 1.0) -> str:
+    """Point JAX's persistent compilation cache at the repo-root
+    ``.jax_compile_cache`` and return the path.
+
+    One implementation for every measurement entry point (bench.py and the
+    analysis/search scripts): remote compiles cost minutes each, and a
+    killed run resumes compile-warm. Call BEFORE the first trace."""
+    cache = os.path.join(_REPO_ROOT, ".jax_compile_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache
 
 
 def slope_train_step_time(apply_fn, batch, win, *, k=12, kmin=2, reps=3,

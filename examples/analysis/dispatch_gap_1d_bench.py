@@ -22,13 +22,10 @@ sys.path.append(".")
 
 import jax
 
-# Persist compiled executables across runs (remote compiles cost minutes).
-import os as _os
+from deepcalcium_tpu.utils.benchtools import enable_compile_cache
 
-_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                       "..", "..", ".jax_compile_cache")
-jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persist compiled executables across runs (remote compiles cost minutes).
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

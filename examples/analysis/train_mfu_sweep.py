@@ -29,26 +29,14 @@ sys.path.append(".")
 
 import jax
 
-# Persist compiled executables across runs (remote compiles cost minutes).
-import os as _os
+from deepcalcium_tpu.utils.benchtools import (enable_compile_cache,
+                                              slope_train_step_time)
 
-_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                       "..", "..", ".jax_compile_cache")
-jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persist compiled executables across runs (remote compiles cost minutes).
+enable_compile_cache()
 import jax.numpy as jnp
 
 PEAK_TFLOPS = 197.0
-
-
-def measure_step(apply_fn, batch, win, k, kmin=2, drp_rng_impl="threefry2x32",
-                 reps=3):
-    """Device ms/step for one train-step config (scan slope) — shared
-    harness with bench.py (deepcalcium_tpu.utils.benchtools)."""
-    from deepcalcium_tpu.utils.benchtools import slope_train_step_time
-
-    return slope_train_step_time(apply_fn, batch, win, k=k, kmin=kmin,
-                                 reps=reps, rng_impl=drp_rng_impl)
 
 
 def report(tag, dt, batch, win):
@@ -79,7 +67,7 @@ def main():
 
     print(f"== batch scaling (W-packed, drp=0.25, threefry, win {args.win}) ==")
     for batch in args.batches:
-        dt = measure_step(fast, batch, args.win, args.k)
+        dt = slope_train_step_time(fast, batch, args.win, k=args.k)
         report(f"batch {batch} win {args.win}", dt, batch, args.win)
     if args.skip_ablations:
         return
@@ -87,8 +75,8 @@ def main():
     print("== PRNG impl at batch 20 and 64 ==")
     for batch in (20, 64):
         for impl in ("threefry2x32", "rbg"):
-            dt = measure_step(fast, batch, args.win, args.k,
-                              drp_rng_impl=impl)
+            dt = slope_train_step_time(fast, batch, args.win, k=args.k,
+                                       rng_impl=impl)
             report(f"batch {batch} {impl}", dt, batch, args.win)
 
     print("== BN stats dtype (batch 64, threefry) ==")
@@ -98,7 +86,7 @@ def main():
             # Fresh partial -> fresh trace -> picks up the knob.
             fast2 = functools.partial(apply_fast_w_train,
                                       compute_dtype=jnp.bfloat16)
-            dt = measure_step(fast2, 64, args.win, args.k)
+            dt = slope_train_step_time(fast2, 64, args.win, k=args.k)
             report(f"BN stats {'f32' if f32 else 'bf16'}", dt, 64, args.win)
         finally:
             blocks.BN_STATS_F32 = True
@@ -106,7 +94,7 @@ def main():
     print("== dropout off (drp=0, batch 64) — upper bound of PRNG+mask ==")
     fast0 = functools.partial(apply_fast_w_train, compute_dtype=jnp.bfloat16,
                               drp=0.0)
-    dt = measure_step(fast0, 64, args.win, args.k)
+    dt = slope_train_step_time(fast0, 64, args.win, k=args.k)
     report("drp=0", dt, 64, args.win)
 
 

@@ -38,12 +38,9 @@ logging.basicConfig(level=logging.INFO)
 # Persist compiled executables across runs/restarts: the search touches ~24
 # distinct (window, nfb, batch, up_mode) trace shapes and remote compiles
 # cost minutes each; a killed sweep resumes compile-warm.
-import jax as _jax
+from deepcalcium_tpu.utils.benchtools import enable_compile_cache
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "..", "..", ".jax_compile_cache")
-_jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache()
 
 SPACE = {
     "window": [48, 64, 96],

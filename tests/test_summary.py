@@ -177,3 +177,22 @@ def test_movie_summary_fast_cpu_dispatch(movie):
     mean, mx = movie_summary_fast(movie)
     np.testing.assert_allclose(np.asarray(mean), movie.mean(0), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(mx), movie.max(0))
+
+
+def test_streaming_growing_chunk_stable_shapes(movie):
+    """A chunk LARGER than the first-seen one must split into first-seen-
+    size slabs (plus a padded short final slab), never specialize a second
+    executable — same mid-stream-compile hazard as the ragged tail."""
+    from deepcalcium_tpu.ops.summary import _streaming_device_update
+
+    _streaming_device_update.clear_cache()
+    ss = StreamingSummary(movie.shape[1:], dtype=movie.dtype,
+                          backend="device")
+    ss.update(movie[:10])    # sets _chunk_len = 10
+    ss.update(movie[10:35])  # 25 frames: 10 + 10 + padded 5
+    ss.update(movie[35:])    # ragged 2-frame tail
+    mean, mx = ss.result()
+    np.testing.assert_allclose(mean, movie.mean(0), rtol=1e-5)
+    np.testing.assert_array_equal(mx, movie.max(0))
+    assert ss._count == movie.shape[0]
+    assert _streaming_device_update._cache_size() == 1

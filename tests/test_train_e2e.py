@@ -133,7 +133,7 @@ def test_fit_steps_per_dispatch(fixture_paths, tmp_path, tiny_model):
                            nb_steps_trn=4, nb_epochs=1,
                            steps_per_dispatch=2, ema_decay=0.5)
     assert best is not None and np.isfinite(hist["loss"][0])
-    with pytest.raises(AssertionError, match="must divide"):
+    with pytest.raises(ValueError, match="must divide"):
         model.fit(fixture_paths[:1], shape_trn=(32, 32), shape_val=(96, 96),
                   batch_size_trn=4, nb_steps_trn=5, nb_epochs=1,
                   steps_per_dispatch=2)
@@ -607,3 +607,21 @@ def test_stack_batches_slabs_consecutive():
     x2, y2 = next(g)
     assert [int(x2[j, 0, 0]) for j in range(3)] == [3, 4, 5]
     assert float(y2[0, 0]) == -3.0
+
+
+def test_make_put_fn_sharding():
+    """make_put_fn must shard the batch axis over the mesh's data axis:
+    dim 1 for (K, B, ...) K-dispatch slabs, dim 0 for plain batches, and a
+    plain device_put without a mesh (the shared 1-D/2-D fit feeder)."""
+    from deepcalcium_tpu.parallel.mesh import get_mesh
+    from deepcalcium_tpu.train.sampler import make_put_fn
+
+    mesh = get_mesh()
+    x = np.zeros((4, 8, 6), np.float32)
+    (xk,) = make_put_fn(mesh, kdisp=2)((x,))
+    assert not xk.sharding.is_fully_replicated
+    assert xk.sharding.shard_shape(xk.shape)[1] == 8 // len(jax.devices())
+    (x0,) = make_put_fn(mesh, kdisp=1)((x[0],))
+    assert x0.sharding.shard_shape(x0.shape)[0] == 8 // len(jax.devices())
+    (xp,) = make_put_fn(None)((x,))
+    assert xp.shape == x.shape

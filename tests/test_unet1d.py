@@ -101,7 +101,7 @@ def test_fit_k_step_dispatch(tmp_path, caplog):
     assert all(np.isfinite(v) for v in mv.values())
 
     # K must divide the per-epoch step count.
-    with pytest.raises(AssertionError, match="steps_per_dispatch"):
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
         model.fit(paths, shape=(128,), error_margin=4, batch=8, nb_epochs=1,
                   val_type="random_split", seed=3, steps_per_dispatch=3)
 
