@@ -43,7 +43,39 @@ BASELINE_FPS = 8057.0 / 60.0  # reference: 8,057 frames/min end-to-end
 PEAK_TFLOPS = float(os.environ.get("DC_TPU_PEAK_TFLOPS", "197"))  # v5e bf16
 
 
+def _wait_for_device(max_wait_s: float = 1800.0) -> None:
+    """Block (bounded) until the accelerator answers a trivial dispatch.
+
+    The tunneled chip can go fully unresponsive for stretches (observed
+    2026-08-17: jax.devices() itself blocked >2 h) — and a bench that
+    hangs at backend init produces NO JSON line at all. Probe in a
+    timeout-wrapped SUBPROCESS (an in-process hang is unrecoverable),
+    retrying up to ``max_wait_s``; then proceed regardless so a transient
+    blip doesn't abort a healthy run."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(int(jax.jit(lambda: jnp.int32(7))()))")
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, text=True, timeout=120)
+            if "7" in out.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            # stderr: stdout carries ONLY the single result JSON line.
+            print(f"WARNING: device probe failed for {max_wait_s:.0f}s; "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        time.sleep(60)
+
+
 def main():
+    _wait_for_device()
     from deepcalcium_tpu.models import unet2d
     from deepcalcium_tpu.train.evaluate import make_movie_evaluator
 
