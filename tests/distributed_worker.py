@@ -62,9 +62,30 @@ def main(port: int, rank: int, out: str) -> None:
     params, state, opt_state, met = step(params, state, opt_state, x, y,
                                          jax.random.PRNGKey(1))
     loss = float(met["loss"])
+
+    # Second capability under multi-process GSPMD: the flagship 2-D
+    # W-packed gradient step (fit(fast_train="auto")'s dispatch), global
+    # batch again fed half-per-process.
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+
+    x2g = gen.standard_normal((8, 32, 32)).astype(np.float32)
+    y2g = (gen.random((8, 32, 32)) < 0.1).astype(np.float32)
+    x2 = global_batch_from_local(mesh, x2g[lo:hi])
+    y2 = global_batch_from_local(mesh, y2g[lo:hi])
+    params2, state2 = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    opt2 = optimizer.init(params2)
+    stepw = T.make_train_step(
+        functools.partial(apply_fast_w_train, compute_dtype=None),
+        L.LOSSES["binary_crossentropy"], optimizer, mesh=mesh)
+    _, _, _, met2 = stepw(params2, state2, opt2, x2, y2,
+                          jax.random.PRNGKey(2))
+    loss_w = float(met2["loss"])
+
     if rank == 0:
         with open(out, "w") as fp:
-            json.dump({"loss": loss, "ndev": len(jax.devices()),
+            json.dump({"loss": loss, "loss_wpacked": loss_w,
+                       "ndev": len(jax.devices()),
                        "local_ndev": len(jax.local_devices()),
                        "nproc": jax.process_count()}, fp)
 

@@ -93,3 +93,20 @@ def test_two_process_step_matches_single(tmp_path):
     # Sharded global-batch reductions reassociate floats; tolerance only.
     np.testing.assert_allclose(res["loss"], float(met["loss"]),
                                rtol=2e-5, atol=2e-5)
+
+    # W-packed 2-D gradient step (fit(fast_train="auto")'s dispatch), same
+    # deterministic continuation of the worker's RNG stream.
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+
+    x2g = gen.standard_normal((8, 32, 32)).astype(np.float32)
+    y2g = (gen.random((8, 32, 32)) < 0.1).astype(np.float32)
+    params2, state2 = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    opt2 = optimizer.init(params2)
+    stepw = T.make_train_step(
+        functools.partial(apply_fast_w_train, compute_dtype=None),
+        L.LOSSES["binary_crossentropy"], optimizer)
+    _, _, _, met2 = stepw(params2, state2, opt2, x2g, y2g,
+                          jax.random.PRNGKey(2))
+    np.testing.assert_allclose(res["loss_wpacked"], float(met2["loss"]),
+                               rtol=2e-5, atol=2e-5)
