@@ -70,6 +70,11 @@ def cmd_train(args):
         prop_trn=0.75, prop_val=0.25,
         loss=args.loss, seed=args.seed,
         lr_schedule=args.lr_schedule,
+        steps_per_dispatch=args.steps_per_dispatch,
+        fast_train=args.fast_train,
+        weight_decay=args.weight_decay,
+        prng_impl=args.prng_impl,
+        ema_decay=args.ema_decay,
     )
     print(f"best checkpoint: {best}")
     return history, best
@@ -218,6 +223,26 @@ def build_parser():
                             "dicesq_loss"])
     p.add_argument("--lr-schedule", default="plateau",
                    choices=["plateau", "cosine"])
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fold K training steps into one lax.scan dispatch "
+                        "(cuts per-step dispatch latency ~2x on thin links; "
+                        "must divide --steps)")
+    p.add_argument("--fast-train", default="auto",
+                   type=lambda s: {"auto": "auto", "on": True,
+                                   "off": False}[s],
+                   choices=["auto", True, False],
+                   metavar="{auto,on,off}",
+                   help="W-packed gradient step (1.21x; score-equivalent, "
+                        "different dropout draw order than the parity path)")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="AdamW decoupled weight decay on conv kernels "
+                        "(the reference search's L2 axis)")
+    p.add_argument("--prng-impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG ('rbg': -17%% step time, different "
+                        "random stream than the Keras-faithful default)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="exponential moving average of params for eval")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="rematerialize conv blocks in the backward pass "

@@ -74,3 +74,23 @@ def test_cli_train_flags_parse():
     assert (a.window, a.batch, a.lr_schedule, a.remat) == (512, 8, "cosine", False)
     a = ap.parse_args(["train", "x", "--remat"])
     assert a.remat is True
+
+
+def test_cli_train_perf_knobs_parse():
+    """Round-3 train knobs: K-dispatch, fast-train tri-state, AdamW decay,
+    PRNG impl, EMA — defaults must be the Keras-faithful parity path."""
+    from deepcalcium_tpu.cli import build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(["train", "all_train"])
+    assert (a.steps_per_dispatch, a.fast_train, a.weight_decay,
+            a.prng_impl, a.ema_decay) == (1, "auto", 0.0,
+                                          "threefry2x32", None)
+    a = ap.parse_args(["train", "x", "--steps-per-dispatch", "4",
+                       "--fast-train", "off", "--weight-decay", "1e-4",
+                       "--prng-impl", "rbg", "--ema-decay", "0.99"])
+    assert a.steps_per_dispatch == 4 and a.fast_train is False
+    assert a.weight_decay == 1e-4 and a.prng_impl == "rbg"
+    assert a.ema_decay == 0.99
+    a = ap.parse_args(["train", "x", "--fast-train", "on"])
+    assert a.fast_train is True
