@@ -123,7 +123,10 @@ def cmd_spikes_train(args):
 
     model = UNet1DSegmentation(cpdir=args.checkpoints_dir)
     out = model.fit(args.dataset_paths, val_type=args.val_type,
-                    nb_epochs=args.epochs)
+                    nb_epochs=args.epochs,
+                    steps_per_dispatch=args.steps_per_dispatch,
+                    weight_decay=args.weight_decay,
+                    prng_impl=args.prng_impl)
     print(out if args.val_type == "cross_validate" else f"best: {out[2]}")
 
 
@@ -279,6 +282,14 @@ def build_parser():
     p.add_argument("--arch", default="unet1d", choices=["unet1d", "glm", "stm"])
     p.add_argument("--val_type", default="random_split",
                    choices=["random_split", "cross_validate"])
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fold K training steps into one lax.scan dispatch "
+                        "(unet1d only; must divide the per-epoch steps)")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="AdamW decoupled weight decay (unet1d only)")
+    p.add_argument("--prng-impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG (unet1d only)")
     p.set_defaults(func=cmd_spikes_train)
 
     p = sp.add_parser("spikes-predict", help="Predict spikes on datasets.")

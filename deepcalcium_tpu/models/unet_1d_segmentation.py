@@ -127,12 +127,18 @@ class UNet1DSegmentation:
     def fit(self, dataset_paths, shape=(4096,), error_margin=4, batch=20,
             nb_epochs=20, val_type="random_split", prop_trn=0.8, prop_val=0.2,
             nb_folds=5, learning_rate=2e-3, seed=865, mesh=None,
-            steps_per_dispatch=1):
+            steps_per_dispatch=1, weight_decay=0.0,
+            prng_impl="threefry2x32"):
         """Train; returns (metrics_trn, metrics_val, best_model_path) for
         random_split, or aggregated fold metrics for cross_validate.
 
         Mirrors reference ``fit`` (``:217-380``): loss = wbce(pos=2), metrics
         F2/prec/reca/ytspks/ypspks, 1 epoch = 1 window from every trace.
+
+        ``weight_decay``: > 0 trains with AdamW decoupled decay on conv
+        kernels; ``prng_impl``: PRNG implementation for the dropout stream
+        ('rbg' is TPU-vectorized; different random stream, score-level
+        equivalent) — the same knobs as the 2-D ``fit``.
 
         ``steps_per_dispatch`` (K): run K train steps inside ONE jitted
         ``lax.scan`` dispatch on stacked (K, B, T) batches — amortizes
@@ -164,7 +170,7 @@ class UNet1DSegmentation:
             mt, mv, bmp = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
                 batch, nb_epochs, learning_rate, seed, mesh,
-                int(steps_per_dispatch))
+                int(steps_per_dispatch), weight_decay, prng_impl)
             for k in sorted(mt.keys()):
                 logger.info("%-20s trn=%-9.4f val=%-9.4f", k, mt[k], mv[k])
             logger.info("Best model path: %s", bmp)
@@ -183,7 +189,7 @@ class UNet1DSegmentation:
             mt, mv, _ = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
                 batch, nb_epochs, learning_rate, seed + val_idx, mesh,
-                int(steps_per_dispatch))
+                int(steps_per_dispatch), weight_decay, prng_impl)
             metrics_trn.append(mt)
             metrics_val.append(mv)
         agg = {}
@@ -198,13 +204,15 @@ class UNet1DSegmentation:
         return agg
 
     def _fit_single(self, traces, spikes, idxs_trn, idxs_val, shape, margin,
-                    batch, nb_epochs, learning_rate, seed, mesh, kdisp=1):
+                    batch, nb_epochs, learning_rate, seed, mesh, kdisp=1,
+                    weight_decay=0.0, prng_impl="threefry2x32"):
         logger = logging.getLogger(funcname())
         loss_fn = functools.partial(L.weighted_binary_crossentropy, weightpos=2.0)
         metric_fns = dict(L.SPIKE_METRICS)
 
         params, state = self.net_init_func(jax.random.PRNGKey(seed))
-        optimizer = T.make_optimizer(learning_rate)
+        optimizer = T.make_optimizer(learning_rate,
+                                     weight_decay=weight_decay)
         opt_state = optimizer.init(params)
         apply_fn = functools.partial(
             self.net_apply_func, margin=int(margin),
@@ -243,7 +251,7 @@ class UNet1DSegmentation:
 
         tic = int(time.time())
         csvlog = CSVMetricsLogger(os.path.join(self.cpdir, f"{tic}_metrics.csv"))
-        rng = jax.random.PRNGKey(seed + 2)
+        rng = jax.random.key(seed + 2, impl=prng_impl)
         # Fixed sample batches for the per-epoch prediction plots
         # (reference _SamplePlotCallback, :26-46, plotted <=30; we cap at 8 —
         # 30 full-length matplotlib subplots per epoch dominates wall-clock
