@@ -55,14 +55,20 @@ def _wait_for_device(max_wait_s: float = 1800.0) -> None:
     import subprocess
     import sys
 
+    # The probe must see a NON-cpu default backend: if the accelerator
+    # plugin fails to load (vs hangs), jax silently falls back to cpu and a
+    # liveness-only probe would let the bench publish 1-core-CPU numbers
+    # as chip results.
     probe = ("import jax, jax.numpy as jnp; "
-             "print(int(jax.jit(lambda: jnp.int32(7))()))")
+             "print(jax.default_backend(), "
+             "int(jax.jit(lambda: jnp.int32(7))()))")
     deadline = time.monotonic() + max_wait_s
     while True:
         try:
             out = subprocess.run([sys.executable, "-c", probe],
                                  capture_output=True, text=True, timeout=120)
-            if "7" in out.stdout:
+            words = out.stdout.split()
+            if words[-1:] == ["7"] and words[-2:-1] != ["cpu"]:
                 return
         except subprocess.TimeoutExpired:
             pass

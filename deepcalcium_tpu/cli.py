@@ -71,7 +71,9 @@ def cmd_train(args):
         loss=args.loss, seed=args.seed,
         lr_schedule=args.lr_schedule,
         steps_per_dispatch=args.steps_per_dispatch,
-        fast_train=args.fast_train,
+        # String choices parse cleanly (a dict-lookup type= raises KeyError
+        # past argparse); map to fit's auto/True/False here.
+        fast_train={"auto": "auto", "on": True, "off": False}[args.fast_train],
         weight_decay=args.weight_decay,
         prng_impl=args.prng_impl,
         ema_decay=args.ema_decay,
@@ -231,10 +233,7 @@ def build_parser():
                         "(cuts per-step dispatch latency ~2x on thin links; "
                         "must divide --steps)")
     p.add_argument("--fast-train", default="auto",
-                   type=lambda s: {"auto": "auto", "on": True,
-                                   "off": False}[s],
-                   choices=["auto", True, False],
-                   metavar="{auto,on,off}",
+                   choices=["auto", "on", "off"],
                    help="W-packed gradient step (1.21x; score-equivalent, "
                         "different dropout draw order than the parity path)")
     p.add_argument("--weight-decay", type=float, default=0.0,

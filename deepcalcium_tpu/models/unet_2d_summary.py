@@ -226,6 +226,14 @@ class UNet2DSummary:
         assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
         assert 0 < prop_trn < 1 and 0 < prop_val < 1
         assert not (proceed and not model_path)
+        kdisp = int(steps_per_dispatch)
+        # ValueError, not assert (must survive python -O), and validated
+        # FIRST: a knob typo must not cost the minutes of disk-bound
+        # dataset summaries + init below before failing.
+        if kdisp < 1 or nb_steps_trn % kdisp != 0:
+            raise ValueError(
+                f"steps_per_dispatch={kdisp} must be >= 1 and divide "
+                f"nb_steps_trn={nb_steps_trn}")
         loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
         if model_path == "latest":
             # Preemption recovery: resume from the newest checkpoint in
@@ -279,13 +287,6 @@ class UNet2DSummary:
         apply_fn = self._resolve_apply_fn(fast_train, params,
                                           (shape_trn, shape_val),
                                           train=True, remat=self.remat)
-        kdisp = int(steps_per_dispatch)
-        # ValueError, not assert: user-facing knob validation must survive
-        # python -O (a stripped assert would silently train fewer steps).
-        if kdisp < 1 or nb_steps_trn % kdisp != 0:
-            raise ValueError(
-                f"steps_per_dispatch={kdisp} must divide nb_steps_trn="
-                f"{nb_steps_trn}")
         if kdisp > 1:
             step = T.make_multi_step(apply_fn, loss_fn, optimizer, kdisp,
                                      ema_decay=ema_decay, mesh=mesh)

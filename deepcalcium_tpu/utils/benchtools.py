@@ -24,19 +24,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Repo root (this file lives at deepcalcium_tpu/utils/).
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+def _cache_root() -> str:
+    """Repo root when running from a checkout (three levels above this
+    file, identified by its pyproject.toml); the user cache dir when the
+    package is pip-installed (where site-packages' parent is not writable
+    and not ours to write into)."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.exists(os.path.join(root, "pyproject.toml")):
+        return root
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "deepcalcium_tpu")
 
 
 def enable_compile_cache(min_compile_secs: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at the repo-root
-    ``.jax_compile_cache`` and return the path.
+    ``.jax_compile_cache`` (or ``~/.cache/deepcalcium_tpu`` for installed
+    packages) and return the path.
 
     One implementation for every measurement entry point (bench.py and the
     analysis/search scripts): remote compiles cost minutes each, and a
     killed run resumes compile-warm. Call BEFORE the first trace."""
-    cache = os.path.join(_REPO_ROOT, ".jax_compile_cache")
+    cache = os.path.join(_cache_root(), ".jax_compile_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

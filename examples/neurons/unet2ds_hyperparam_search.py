@@ -124,9 +124,10 @@ def main():
     # Fail fast: fit asserts this per trial, and the per-trial exception
     # guard would otherwise turn a bad flag pair into a full-length
     # all-NaN sweep (hours of fixtures + compiles for nothing).
-    if args.steps % args.steps_per_dispatch != 0:
-        ap.error(f"--steps-per-dispatch {args.steps_per_dispatch} must "
-                 f"divide --steps {args.steps}")
+    if (args.steps_per_dispatch < 1
+            or args.steps % args.steps_per_dispatch != 0):
+        ap.error(f"--steps-per-dispatch {args.steps_per_dispatch} must be "
+                 f">= 1 and divide --steps {args.steps}")
 
     if args.make_fixtures:
         fix_dir = os.path.join(checkpoints_dir(), "search_fixtures_r3")

@@ -133,7 +133,7 @@ def test_fit_steps_per_dispatch(fixture_paths, tmp_path, tiny_model):
                            nb_steps_trn=4, nb_epochs=1,
                            steps_per_dispatch=2, ema_decay=0.5)
     assert best is not None and np.isfinite(hist["loss"][0])
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="divide"):
         model.fit(fixture_paths[:1], shape_trn=(32, 32), shape_val=(96, 96),
                   batch_size_trn=4, nb_steps_trn=5, nb_epochs=1,
                   steps_per_dispatch=2)

@@ -4,6 +4,7 @@ config."""
 import os
 
 import numpy as np
+import pytest
 
 from deepcalcium_tpu.utils.config import base_dir, get_config
 from deepcalcium_tpu.utils.profiling import ThroughputMeter, trace
@@ -89,8 +90,18 @@ def test_cli_train_perf_knobs_parse():
     a = ap.parse_args(["train", "x", "--steps-per-dispatch", "4",
                        "--fast-train", "off", "--weight-decay", "1e-4",
                        "--prng-impl", "rbg", "--ema-decay", "0.99"])
-    assert a.steps_per_dispatch == 4 and a.fast_train is False
+    assert a.steps_per_dispatch == 4 and a.fast_train == "off"
     assert a.weight_decay == 1e-4 and a.prng_impl == "rbg"
     assert a.ema_decay == 0.99
     a = ap.parse_args(["train", "x", "--fast-train", "on"])
-    assert a.fast_train is True
+    assert a.fast_train == "on"
+    # Invalid values must be a clean argparse usage error, not a raw
+    # KeyError traceback (string choices, mapped to auto/True/False at the
+    # cmd_train call site).
+    with pytest.raises(SystemExit):
+        ap.parse_args(["train", "x", "--fast-train", "true"])
+    # spikes-train knobs (1-D fit).
+    a = ap.parse_args(["spikes-train", "sp.hdf5", "--steps-per-dispatch",
+                       "2", "--weight-decay", "1e-5", "--prng-impl", "rbg"])
+    assert (a.steps_per_dispatch, a.weight_decay, a.prng_impl) == (
+        2, 1e-5, "rbg")
