@@ -120,7 +120,7 @@ def _tile4(v):
 def apply_fast(params, state, x, train: bool = False, rng=None,
                compute_dtype=jnp.bfloat16, **_ignored):
     """Inference forward, numerically equivalent to
-    ``unet2d.apply(..., train=False)``; requires H, W divisible by 32 and
+    ``unet2d.apply(..., train=False)``; requires H, W divisible by 16 and
     the 'transpose' up mode. Signature-compatible with ``apply`` so it can
     be swapped into evaluators; ``train=True`` is rejected (the parity path
     owns training).

@@ -401,12 +401,14 @@ class StreamingSummary:
         self._count += n
 
     def result(self):
-        """(mean float32, max) as host numpy arrays."""
+        """(mean float32, max) as host numpy arrays; max is ``None`` when
+        constructed with ``track_max=False`` (it was never folded — the
+        min-sentinel buffer must not escape as data)."""
         if self._count == 0:
             raise ValueError("no frames accumulated")
         return (
             np.asarray(self._sum) / self._count,
-            np.asarray(self._max),
+            np.asarray(self._max) if self.track_max else None,
         )
 
 
@@ -444,6 +446,23 @@ def movie_summary_sharded(movie, mesh, axis: str = "data", chunk: int = 64,
         mean = (head_mean * (t - r) + tail_mean * r) / jnp.float32(t)
         return mean, jnp.maximum(head_max, tail_max.astype(jnp.float32))
 
+    fn = _sharded_summary_fn(mesh, axis, int(chunk), bool(use_pallas), t)
+    return fn(movie)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_summary_fn(mesh, axis: str, chunk: int, use_pallas: bool,
+                        t: int):
+    """Cached jitted shard_map for :func:`movie_summary_sharded`.
+
+    Module-level cache so REPEAT top-level calls on same-shaped movies
+    reuse one executable — a fresh shard_map closure + ``jax.jit(fn)`` per
+    call retraces every time (~25-200 s per compile through a
+    remote-compile service; the same failure mode the evaluator builders
+    were lru-cached for in round 2b). ``t`` keys the cache because the
+    global mean divides by it inside the mapped fn; jit itself re-
+    specializes on the (T, H, W)/dtype of the movie as usual."""
+
     def local(mv):
         if use_pallas:
             mean_local, max_local = movie_summary_pallas(mv, chunk=None)
@@ -463,4 +482,4 @@ def movie_summary_sharded(movie, mesh, axis: str = "data", chunk: int = 64,
         # becomes device-varying after the first fold; skip the vma check.
         check_vma=False,
     )
-    return jax.jit(fn)(movie)
+    return jax.jit(fn)

@@ -41,7 +41,11 @@ def _image_eval_body(apply_fn, image_shape, window, tta, threshold):
                          f"got {window}")
 
     def body(params, state, mean):
-        z = (mean - jnp.mean(mean)) / jnp.std(mean)
+        # max() with a subnormal-scale floor: exact for any real image
+        # (std >= 1e-12 is untouched bit-for-bit), and a CONSTANT image
+        # (dead recording) yields z=0 instead of NaN probs -> silent
+        # all-zero mask.
+        z = (mean - jnp.mean(mean)) / jnp.maximum(jnp.std(mean), 1e-12)
         if (h, w) != (hw, ww):
             z = jnp.pad(z, ((0, hw - h), (0, ww - w)), mode="reflect")
         if tta:
@@ -312,9 +316,16 @@ def predict_tta(fwd, params, state, images, window=(512, 512), mesh=None,
     """
     hw, ww = window
     batch = np.stack([reflect_pad_to(np.asarray(s, np.float32), hw, ww) for s in images])
-    views = np.asarray(tta_expand(jnp.asarray(batch)))  # (8, B, hw, ww)
+    # Expand the 8 views ON DEVICE and leave them there: np.asarray-ing the
+    # expansion shipped 8x the batch back to host only for _run_batched to
+    # ship it to the device again (3x the link traffic of the batch —
+    # ~100 MB extra for the 11-dataset case through a ~250 MB/s link). The
+    # mesh path still needs host arrays for pad/shard.
+    views = tta_expand(jnp.asarray(batch))  # (8, B, hw, ww)
     n = batch.shape[0]
     flat = views.reshape(8 * n, hw, ww)
+    if mesh is not None:
+        flat = np.asarray(flat)
     probs = _run_batched(fwd, params, state, flat, mesh=mesh, max_batch=max_batch)
     merged = np.asarray(tta_collapse(jnp.asarray(probs.reshape(8, n, hw, ww))))
     return [p[: s.shape[0], : s.shape[1]] for p, s in zip(merged, images)]

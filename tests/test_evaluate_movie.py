@@ -154,3 +154,19 @@ def test_forward_flops_matches_xla_cost_analysis(tiny_net):
     assert ca["flops"] <= analytic, (ca["flops"], analytic)
     assert (analytic - ca["flops"]) / analytic < border + 0.02, (
         ca["flops"], analytic)
+
+
+def test_evaluate_constant_movie_no_nan(tiny_net):
+    """A constant (dead-recording) movie has std=0; the z-norm guard must
+    yield finite probs and a valid mask instead of NaN -> silent all-zero."""
+    import jax.numpy as jnp
+
+    from deepcalcium_tpu.train.evaluate import make_movie_evaluator
+
+    params, state = tiny_net
+    apply_fn = functools.partial(unet2d.apply, compute_dtype=None)
+    cmovie = np.full((12, 32, 32), 7, np.int16)
+    ev = make_movie_evaluator(apply_fn, cmovie.shape, window=(32, 32),
+                              tta=True)
+    mask, prob, summ = ev(params, state, jnp.asarray(cmovie))
+    assert np.isfinite(np.asarray(prob)).all()

@@ -196,3 +196,37 @@ def test_streaming_growing_chunk_stable_shapes(movie):
     np.testing.assert_array_equal(mx, movie.max(0))
     assert ss._count == movie.shape[0]
     assert _streaming_device_update._cache_size() == 1
+
+
+def test_streaming_mean_only_returns_none_max(movie):
+    """track_max=False must return None for the max — the min-sentinel
+    buffer escaping as data would silently corrupt a stored series/max."""
+    ss = StreamingSummary(movie.shape[1:], dtype=movie.dtype,
+                          backend="host", track_max=False)
+    ss.update(movie)
+    mean, mx = ss.result()
+    assert mx is None
+    np.testing.assert_allclose(mean, movie.mean(0), rtol=1e-5)
+
+
+def test_sharded_summary_executable_reuse(rng):
+    """Repeat movie_summary_sharded calls on same-shaped movies must reuse
+    ONE compiled executable (module-level cache) — a fresh shard_map +
+    jit per call recompiles every time (~25-200 s on a remote-compile
+    service)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from deepcalcium_tpu.ops.summary import (_sharded_summary_fn,
+                                             movie_summary_sharded)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    _sharded_summary_fn.cache_clear()
+    m1 = rng.integers(0, 99, (16, 8, 8)).astype(np.int16)
+    m2 = rng.integers(0, 99, (16, 8, 8)).astype(np.int16)
+    a1 = movie_summary_sharded(m1, mesh, use_pallas=False)
+    a2 = movie_summary_sharded(m2, mesh, use_pallas=False)
+    info = _sharded_summary_fn.cache_info()
+    assert info.misses == 1 and info.hits == 1, info
+    np.testing.assert_allclose(np.asarray(a1[0]), m1.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2[0]), m2.mean(0), rtol=1e-5)
