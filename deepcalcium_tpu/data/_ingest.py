@@ -39,7 +39,12 @@ def decode_chunk(paths, i_shape) -> np.ndarray:
     for i, p in enumerate(paths):
         try:
             out[i] = read_tiff(p)
-        except OSError as e:
+        except (OSError, ValueError) as e:
+            # ValueError too: a frame with the wrong resolution/sample
+            # layout must zero-fill like the native tier does (decode_one
+            # returns a bad status on dimension mismatch) — the reference's
+            # corrupt-frame tolerance (unet2ds_sj.py:75-82) holds on every
+            # decode tier.
             logger.warning("Error on file %s: %s — zero-filling.", p, e)
     return out
 

@@ -56,13 +56,11 @@ def _movie_from_masks(rng, masks, nb_frames=64, base=100, amp=400):
     return (noise + signal + any_neuron * 50).astype(np.int16)
 
 
-def make_neurons_hdf5(path, name="synthetic.00.00", shape=(96, 96),
-                      nb_frames=64, nb_neurons=8, seed=0):
-    """Write a full neurofinder-contract HDF5; returns the path."""
-    rng = np.random.default_rng(seed)
-    masks, _ = synthetic_neurons(rng, shape, nb_neurons)
-    movie = _movie_from_masks(rng, masks, nb_frames)
 
+def _write_contract_hdf5(path, name, movie, masks):
+    """One writer for the neurofinder HDF5 contract (series/{raw,mean,max},
+    masks/{raw,max}, attr name) — shared by every fixture generator so the
+    contract cannot silently diverge between them."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as fp:
         fp.attrs["name"] = name
@@ -74,6 +72,16 @@ def make_neurons_hdf5(path, name="synthetic.00.00", shape=(96, 96),
         fp.create_dataset("masks/raw", data=masks, dtype="int8")
         fp.create_dataset("masks/max", data=masks.max(axis=0), dtype="int8")
     return path
+
+
+def make_neurons_hdf5(path, name="synthetic.00.00", shape=(96, 96),
+                      nb_frames=64, nb_neurons=8, seed=0):
+    """Write a full neurofinder-contract HDF5; returns the path."""
+    rng = np.random.default_rng(seed)
+    masks, _ = synthetic_neurons(rng, shape, nb_neurons)
+    movie = _movie_from_masks(rng, masks, nb_frames)
+
+    return _write_contract_hdf5(path, name, movie, masks)
 
 
 def make_tiff_tree(root, name="synthetic.00.00", shape=(48, 48), nb_frames=12,
@@ -177,17 +185,7 @@ def make_realistic_hdf5(path, name, shape=(256, 256), nb_frames=128,
     masks = realistic_neurons(rng, shape, nb_neurons, r_lo=r_lo, r_hi=r_hi)
     movie = realistic_movie(rng, masks, nb_frames, amp_lo=amp_lo,
                             amp_hi=amp_hi, spike_rate=spike_rate)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with h5py.File(path, "w") as fp:
-        fp.attrs["name"] = name
-        fp.create_dataset("series/raw", data=movie, dtype="int16")
-        fp.create_dataset("series/mean",
-                          data=movie.mean(axis=0).astype(np.float16),
-                          dtype="float16")
-        fp.create_dataset("series/max", data=movie.max(axis=0), dtype="int16")
-        fp.create_dataset("masks/raw", data=masks, dtype="int8")
-        fp.create_dataset("masks/max", data=masks.max(axis=0), dtype="int8")
-    return path
+    return _write_contract_hdf5(path, name, movie, masks)
 
 
 def make_keras_unet2ds_hdf5(path, nfb=4, seed=0):

@@ -21,6 +21,7 @@ Parity rebuild of reference ``datasets/nf.py``:
 import json
 import logging
 import os
+import shutil
 import zipfile
 from glob import glob
 
@@ -85,8 +86,22 @@ def _download_and_unzip(name: str, ddir: str) -> None:
             for block in resp.iter_content(chunk_size=1 << 22):
                 fp.write(block)
     logger.info("Unzipping %s.", zip_path)
+    # Extract into a temp dir and os.replace into place: idempotency keys
+    # on unzip_path existing, so a non-atomic extractall interrupted
+    # mid-way would be treated as complete forever after (same tmp+rename
+    # rule as checkpoints).
+    tmp_dir = unzip_path + ".extract_tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
     with zipfile.ZipFile(zip_path, "r") as z:
-        z.extractall(ddir)
+        z.extractall(tmp_dir)
+    extracted = os.path.join(tmp_dir, name)
+    if not os.path.isdir(extracted):  # archive without the top-level dir
+        extracted = tmp_dir
+        tmp_dir = None
+    os.replace(extracted, unzip_path)
+    if tmp_dir is not None and os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
     os.remove(zip_path)
 
 

@@ -64,25 +64,46 @@ def _assign(layer_table, groups, expect_kinds):
     """Map Keras weight groups onto our (params, state) by walking both
     orders in lockstep, with shape verification."""
     params, state = {}, {}
+    # Spatial sizes per kind: a variant net with the same filter schedule
+    # but different kernel sizes must FAIL here, not predict silently wrong
+    # numerics (this importer exists for score-parity validation).
+    spatial = {"conv3": (3, 3), "conv5": (5, 5), "conv1": (1, 1),
+               "tconv": (2, 2)}
     gi = iter(groups)
     for name, kind, cout in layer_table:
-        lname, ws = next(gi)
+        try:
+            lname, ws = next(gi)
+        except StopIteration:
+            raise ValueError(
+                f"Keras checkpoint ran out of weight-bearing layers at "
+                f"{name} ({kind}) — wrong/truncated architecture") from None
         if kind in ("conv3", "conv5", "conv1"):
             if not lname.startswith(expect_kinds["conv"]) or \
                     lname.startswith("conv2d_transpose"):
                 raise ValueError(f"expected a conv at {name}, got {lname}")
             kernel, bias = ws
-            if kernel.shape[-1] != cout:
+            # Conv2D kernels are (kh, kw, cin, cout); Conv1D (k, cin, cout)
+            # — the 1-D table reuses this walker, so match the spatial dims
+            # the kernel actually has.
+            want = spatial[kind][: kernel.ndim - 2]
+            if (kernel.ndim not in (3, 4)
+                    or kernel.shape[: kernel.ndim - 2] != want
+                    or kernel.shape[-1] != cout):
                 raise ValueError(
-                    f"{name}: kernel out-ch {kernel.shape[-1]} != {cout}")
+                    f"{name}: expected a {spatial[kind]} conv with "
+                    f"{cout} out-ch, got kernel {kernel.shape}")
             params[name] = {"kernel": np.asarray(kernel, np.float32),
                             "bias": np.asarray(bias, np.float32)}
         elif kind == "tconv":
             if not lname.startswith("conv2d_transpose"):
                 raise ValueError(f"expected conv2d_transpose at {name}, got {lname}")
             kernel, bias = ws
-            if kernel.shape != (2, 2, cout, kernel.shape[3]):
-                raise ValueError(f"{name}: unexpected tconv shape {kernel.shape}")
+            # Keras HWOI: (2, 2, out, in); out must match the table —
+            # comparing in-ch against itself would accept anything.
+            if kernel.ndim != 4 or kernel.shape[:3] != (2, 2, cout):
+                raise ValueError(
+                    f"{name}: expected (2, 2, {cout}, in) tconv, got "
+                    f"kernel {kernel.shape}")
             params[name] = {"kernel": np.asarray(kernel, np.float32),
                             "bias": np.asarray(bias, np.float32)}
         elif kind == "bn":

@@ -178,8 +178,12 @@ def nf_mask_metrics(m, mp, threshold=np.inf):
         (p, r, i, e, f1) — note the reference returns precision first even
         though ``centers`` yields (recall, precision).
     """
-    mp = np.asarray(mp)
-    if np.sum(np.round(mp)) == 0:
+    # Round ONCE and use the rounded map throughout: the emptiness gate
+    # rounds, so labeling the raw map would threshold a probability input
+    # at > 0 instead of >= 0.5 (every 0.001-prob pixel becoming predicted
+    # area) — a silent trap for public-API callers passing sigmoid maps.
+    mp = np.round(np.asarray(mp))
+    if np.sum(mp) == 0:
         return 0.0, 0.0, 0.0, 0.0, 0.0
     ra = mask_to_regions(np.asarray(m))
     rb = mask_to_regions(mp)

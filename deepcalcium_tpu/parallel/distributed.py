@@ -36,7 +36,15 @@ def initialize(coordinator_address: str | None = None,
             logger.info("jax.distributed initialized: process %d/%d",
                         jax.process_index(), jax.process_count())
         except Exception as e:
-            logger.info("single-host run (distributed init skipped: %s)", e)
+            # WARNING, not info: on a real multi-host pod a failed
+            # auto-init silently degrades to per-host isolated training
+            # (gradients never sync across hosts). Single-host users see
+            # one benign warning; pod users get a visible signal.
+            logger.warning(
+                "jax.distributed auto-init failed (%s) — continuing "
+                "single-process. If this IS a multi-host pod, training "
+                "will NOT synchronize across hosts; pass explicit "
+                "coordinator_address/num_processes/process_id.", e)
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

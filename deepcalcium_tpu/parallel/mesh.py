@@ -19,17 +19,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["get_mesh", "batch_sharding", "replicated", "shard_batch", "P"]
 
 
-@functools.lru_cache(maxsize=None)
 def get_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    """A 1-D mesh over the first ``n_devices`` devices (default: all)."""
-    devs = jax.devices()
+    """A 1-D mesh over the first ``n_devices`` devices (default: all).
+
+    Cached per (device set, n, axis): keying on the LIVE device tuple
+    (not first-call state) means a mesh built before
+    ``jax.distributed.initialize`` widens automatically on the next call
+    after init instead of staying stale forever."""
+    return _mesh_for(tuple(jax.devices()), n_devices, axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _mesh_for(devs: tuple, n_devices: int | None, axis: str) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 over the mesh axis, replicate the rest."""
+    """Shard dim 0 over the mesh axis, replicate the rest; rank-0 leaves
+    (scalar fields in a batch pytree) replicate — P(axis) on a scalar is a
+    rank error."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 

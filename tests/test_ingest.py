@@ -1,5 +1,6 @@
 """TIFF-tree ingest -> HDF5 contract (reference nf.py:99-150 behavior)."""
 
+import os
 import h5py
 import numpy as np
 import pytest
@@ -48,3 +49,29 @@ def test_resolve_names():
         "neurofinder.00.00", "neurofinder.01.00"]
     assert _resolve_names(["a", "b"]) == ["a", "b"]
     assert all(n in NEUROFINDER_NAMES for n in _resolve_names("all"))
+
+
+def test_pil_fallback_zero_fills_bad_frame(tmp_path, monkeypatch):
+    """A frame with the wrong resolution must zero-fill + warn on the PIL
+    fallback tier exactly like the native decoder does (reference corrupt-
+    TIFF tolerance, unet2ds_sj.py:75-82) — not abort the ingest."""
+    from PIL import Image
+
+    from deepcalcium_tpu.data import tiff_native
+    from deepcalcium_tpu.data.fixtures import make_tiff_tree
+    from deepcalcium_tpu.data.nf import ingest_tiff_dataset
+
+    root, movie, _ = make_tiff_tree(str(tmp_path), "bad.00.00",
+                                    shape=(24, 24), nb_frames=6)
+    # Corrupt frame 3: a different resolution.
+    bad = os.path.join(root, "images", "image00003.tiff")
+    Image.fromarray(np.zeros((10, 10), np.int32), mode="I").save(bad)
+    monkeypatch.setattr(tiff_native, "available", lambda: False)
+
+    ds = ingest_tiff_dataset(root, os.path.join(root, "dataset.hdf5"),
+                             "bad.00.00")
+    with h5py.File(ds, "r") as fp:
+        raw = fp["series/raw"][...]
+    assert raw.shape == (6, 24, 24)
+    assert raw[3].sum() == 0          # zero-filled
+    assert raw[2].sum() > 0           # neighbors intact

@@ -225,3 +225,37 @@ def test_predict_directly_from_keras_hdf5(tmp_path):
     Mp, names = model.predict([ds], keras_ckpt, window_shape=(96, 96),
                               augmentation=True)
     assert names == ["mig.0"] and Mp[0].shape == (96, 96)
+
+
+def test_import_rejects_wrong_kernel_size(tmp_path, init_shapes_2d):
+    """A variant net with the same filter schedule but 5x5 convs must be
+    rejected (silent wrong numerics would defeat score-parity validation)."""
+    global expected_shapes
+    expected_shapes = init_shapes_2d
+    path = str(tmp_path / "k5.hdf5")
+    _write_keras_h5(path, unet2d.layer_order(4))
+    with h5py.File(path, "a") as fp:
+        g = fp["model_weights/conv2d_1"]
+        wn = [n.decode() if isinstance(n, bytes) else n
+              for n in g.attrs["weight_names"]]
+        kname = [n for n in wn if "kernel" in n][0]
+        k = np.asarray(g[kname])
+        del g[kname]
+        g.create_dataset(kname, data=np.zeros((5, 5) + k.shape[2:],
+                                              k.dtype))
+    with pytest.raises(ValueError, match="conv"):
+        load_unet2ds_keras(path, nfb=4)
+
+
+def test_import_rejects_truncated_checkpoint(tmp_path, init_shapes_2d):
+    """Fewer weight-bearing layers than the table must raise a diagnostic
+    ValueError, not a bare StopIteration."""
+    global expected_shapes
+    expected_shapes = init_shapes_2d
+    path = str(tmp_path / "short.hdf5")
+    _write_keras_h5(path, unet2d.layer_order(4))
+    with h5py.File(path, "a") as fp:
+        names = list(fp["model_weights"].attrs["layer_names"])
+        fp["model_weights"].attrs["layer_names"] = np.array(names[:-4])
+    with pytest.raises(ValueError, match="ran out"):
+        load_unet2ds_keras(path, nfb=4)

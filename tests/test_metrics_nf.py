@@ -98,3 +98,18 @@ def test_shifted_prediction_still_matches_with_partial_overlap():
     p, r, i, e, f1 = nf.nf_mask_metrics(m, mp)
     assert f1 == 1.0  # centers within inf threshold
     assert 0 < i < 1 and 0 < e < 1
+
+
+def test_probability_map_is_rounded_before_labeling():
+    """A raw sigmoid map must be thresholded at 0.5 (round), not > 0:
+    sub-0.5 background probabilities are NOT predicted area. Regression for
+    the gate/label mismatch (the emptiness gate rounded, labeling didn't)."""
+    m = blob(np.zeros((32, 32), np.uint8), 10, 10)
+    prob = np.full((32, 32), 0.2, np.float64)  # low-confidence everywhere
+    prob[8:13, 8:13] = 0.9                     # one confident region
+    p, r, i, e, f1 = nf.nf_mask_metrics(m, prob)
+    assert f1 == 1.0  # the 0.2 background must not merge into a giant blob
+
+    # All-sub-threshold map == empty prediction.
+    low = np.full((32, 32), 0.4, np.float64)
+    assert nf.nf_mask_metrics(m, low) == (0.0, 0.0, 0.0, 0.0, 0.0)

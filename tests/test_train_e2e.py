@@ -625,3 +625,16 @@ def test_make_put_fn_sharding():
     assert x0.sharding.shard_shape(x0.shape)[0] == 8 // len(jax.devices())
     (xp,) = make_put_fn(None)((x,))
     assert xp.shape == x.shape
+
+
+def test_shard_batch_scalar_leaf_replicates():
+    """Rank-0 leaves in a batch pytree must replicate (P() on a scalar),
+    not raise a sharding rank error."""
+    from deepcalcium_tpu.parallel.mesh import get_mesh, shard_batch
+
+    mesh = get_mesh()
+    out = shard_batch(mesh, {"x": np.zeros((8, 4), np.float32),
+                             "w": np.float32(2.5)})
+    assert float(out["w"]) == 2.5
+    assert out["x"].sharding.shard_shape(out["x"].shape)[0] == \
+        8 // len(jax.devices())
