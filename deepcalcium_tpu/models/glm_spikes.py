@@ -154,17 +154,38 @@ class GLMSegmentation:
         """Full-batch weighted logistic regression; returns
         (metrics_trn, metrics_val, checkpoint_path)."""
         logger = logging.getLogger(funcname())
-        traces = np.concatenate(
-            [self.dataset_traces_func(p) for p in dataset_paths])
-        spikes = np.concatenate(
-            [self.dataset_spikes_func(p) for p in dataset_paths])
+        if nb_epochs < 1:
+            raise ValueError(f"nb_epochs={nb_epochs} must be >= 1")
+        tr_list = [self.dataset_traces_func(p) for p in dataset_paths]
+        sp_list = [self.dataset_spikes_func(p) for p in dataset_paths]
+        # Datasets may carry different trace lengths (the 1-D deep model
+        # flattens to ragged per-trace lists; this full-batch model pads to
+        # the longest T and masks the loss/metrics instead).
+        tmax = max(t.shape[1] for t in tr_list)
+
+        def padT(a):
+            return np.pad(a, ((0, 0), (0, tmax - a.shape[1])))
+
+        traces = np.concatenate([padT(t) for t in tr_list])
+        spikes = np.concatenate([padT(s) for s in sp_list])
+        mask = np.concatenate(
+            [np.pad(np.ones(t.shape, np.float32),
+                    ((0, 0), (0, tmax - t.shape[1]))) for t in tr_list])
         spikes = maxpool_labels(spikes, int(error_margin))
+        # The margin pool can smear a real spike into the padded region;
+        # the mask keeps padding out of the loss and metrics either way.
 
         rng = np.random.default_rng(seed)
         idx = rng.permutation(len(traces))
         n_trn = int(len(idx) * prop_trn)
+        if n_trn == 0 or n_trn == len(idx):
+            raise ValueError(
+                f"prop_trn={prop_trn} with {len(idx)} traces leaves an "
+                f"empty split (train={n_trn}, val={len(idx) - n_trn}) — "
+                f"training on a (0, T) batch yields NaN silently")
         tr_t, tr_v = traces[idx[:n_trn]], traces[idx[n_trn:]]
         sp_t, sp_v = spikes[idx[:n_trn]], spikes[idx[n_trn:]]
+        mk_t, mk_v = mask[idx[:n_trn]], mask[idx[n_trn:]]
 
         params = self._init(jax.random.PRNGKey(seed))
         opt = optax.adam(learning_rate)
@@ -172,29 +193,46 @@ class GLMSegmentation:
         arch = self.arch
 
         @jax.jit
-        def step(params, opt_state, x, y):
+        def step(params, opt_state, x, y, m):
             def lfn(p):
+                # Masked mean: padded tail samples of shorter datasets
+                # carry zero weight.
                 if arch == "stm":
-                    return stm_poisson_nll(p, x, y)
-                probs = glm_apply(p, x)
-                return jnp.mean(
-                    L.weighted_binary_crossentropy(y, probs, weightpos=2.0))
+                    lr = stm_log_rate(p, x)
+                    rate = jnp.exp(jnp.clip(lr, -30.0, 15.0))
+                    elt = rate - y * lr
+                else:
+                    probs = glm_apply(p, x)
+                    elt = L.weighted_binary_crossentropy(y, probs,
+                                                         weightpos=2.0)
+                return jnp.sum(elt * m) / jnp.sum(m)
 
             loss, grads = jax.value_and_grad(lfn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         xt, yt = jnp.asarray(tr_t, jnp.float32), jnp.asarray(sp_t, jnp.float32)
+        mt_ = jnp.asarray(mk_t, jnp.float32)
+        loss = np.nan
         for epoch in range(nb_epochs):
-            params, opt_state, loss = step(params, opt_state, xt, yt)
+            params, opt_state, loss = step(params, opt_state, xt, yt, mt_)
+        if not np.isfinite(float(loss)):
+            raise FloatingPointError(
+                f"{arch} training diverged: final loss {float(loss)} "
+                f"(same NaN sanitizer contract as the deep fits)")
         logger.info("%s trained: final loss %.4f", arch.upper(), float(loss))
 
-        def metrics(x, y):
+        def metrics(x, y, m):
             probs = np.asarray(self._apply(params, jnp.asarray(x, jnp.float32)))
-            return {k: float(np.mean(np.asarray(fn(y, probs))))
+            # Zero label+prediction in the padded region: padding becomes
+            # true negatives, which none of the TP/FP/FN-sum spike metrics
+            # count (the metric fns reduce per trace — axis 1 — so the 2-D
+            # shape must be kept).
+            mm = np.asarray(m, probs.dtype)
+            return {k: float(np.mean(np.asarray(fn(y * mm, probs * mm))))
                     for k, fn in L.SPIKE_METRICS.items()}
 
-        mt, mv = metrics(tr_t, sp_t), metrics(tr_v, sp_v)
+        mt, mv = metrics(tr_t, sp_t, mk_t), metrics(tr_v, sp_v, mk_v)
         path = os.path.join(self.cpdir, f"{int(time.time())}_{arch}.ckpt")
         save_checkpoint(path, params, {},
                         meta={"val_F2": mv["F2"], "arch": arch})

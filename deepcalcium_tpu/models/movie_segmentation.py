@@ -12,6 +12,8 @@ fixed-size time slabs. With a mesh, each slab's frame axis shards over the
 double-buffered slab feeding.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,22 +28,31 @@ def _pad16(hw: int) -> int:
     return -(-hw // 16) * 16
 
 
-def _make_segment_slab(hp, wp, compute_dtype, threshold, mesh=None,
-                       apply_fn=None, params=None):
-    if apply_fn is None:
-        # Stock net: dispatch the W-packed inference rewrite (exact,
-        # models/unet2d_fast.py) when the checkpoint is transpose-mode;
-        # hp/wp are already %16 by construction. Upsampling-mode
-        # checkpoints (no tconv weights) take the parity forward with the
-        # matching up_mode.
-        if params is not None and "up0_tconv" in params:
-            from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
+# Module-level partial: a stable identity so the lru-cached slab builder
+# below actually hits on repeat upsampling-mode calls.
+_UPSAMPLING_APPLY = functools.partial(unet2d.apply, up_mode="upsampling")
 
-            apply_fn = apply_fast_w
-        else:
-            import functools
 
-            apply_fn = functools.partial(unet2d.apply, up_mode="upsampling")
+def _resolve_apply(apply_fn, params):
+    """Stock net: dispatch the W-packed inference rewrite (exact,
+    models/unet2d_fast.py) when the checkpoint is transpose-mode; hp/wp are
+    already %16 by construction. Upsampling-mode checkpoints (no tconv
+    weights) take the parity forward with the matching up_mode."""
+    if apply_fn is not None:
+        return apply_fn
+    if params is not None and "up0_tconv" in params:
+        from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
+
+        return apply_fast_w
+    return _UPSAMPLING_APPLY
+
+
+@functools.lru_cache(maxsize=16)
+def _make_segment_slab(hp, wp, compute_dtype, threshold, mesh, apply_fn):
+    """lru-cached so repeat segment_movie calls in one process reuse ONE
+    jitted executable — a fresh closure per call recompiled the full
+    forward every time (~100-200 s through a remote-compile service; the
+    same identity-stable-jit rule as trainer.stable_apply_fn)."""
 
     def seg(params, state, slab):
         x = slab.astype(jnp.float32)
@@ -82,8 +93,15 @@ def segment_movie(params, state, movie, slab: int = 64, mesh=None,
     if mesh is not None:
         n = mesh.devices.size
         slab = -(-slab // n) * n
-    seg = _make_segment_slab(hp, wp, compute_dtype, threshold, mesh=mesh,
-                             apply_fn=apply_fn, params=params)
+    seg = _make_segment_slab(hp, wp, compute_dtype, float(threshold), mesh,
+                             _resolve_apply(apply_fn, params))
+    # Transfer params/state ONCE (replicated under a mesh): checkpoints
+    # load as host numpy pytrees, and handing those to every slab dispatch
+    # re-uploads ~31 MB of weights per slab through the link the Prefetcher
+    # exists to keep busy with frames.
+    sh = replicated(mesh) if mesh is not None else None
+    params = jax.device_put(params, sh) if sh else jax.device_put(params)
+    state = jax.device_put(state, sh) if sh else jax.device_put(state)
 
     # HDF5-read + pad + host->device transfer runs on a background thread
     # (Prefetcher) so it overlaps the device compute of the previous slab —

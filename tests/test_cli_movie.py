@@ -50,3 +50,21 @@ def test_cli_segment(fixture_env):
         masks = fp["masks/frames"][...]
     assert masks.shape == (16, 48, 48) and masks.dtype == np.uint8
     assert set(np.unique(masks)).issubset({0, 1})
+
+
+def test_segment_movie_reuses_executable():
+    """Repeat segment_movie calls must hit ONE lru-cached jitted slab fn —
+    a fresh closure per call recompiled the full forward every time."""
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.models.movie_segmentation import (_make_segment_slab,
+                                                           segment_movie)
+
+    params, state = unet2d.init(jax.random.PRNGKey(11), nfb=4)
+    _make_segment_slab.cache_clear()
+    m1 = np.random.default_rng(0).integers(0, 900, (6, 32, 32)).astype(np.int16)
+    m2 = np.random.default_rng(1).integers(0, 900, (9, 32, 32)).astype(np.int16)
+    o1 = segment_movie(params, state, m1, slab=4)
+    o2 = segment_movie(params, state, m2, slab=4)
+    info = _make_segment_slab.cache_info()
+    assert info.misses == 1 and info.hits == 1, info
+    assert o1.shape == (6, 32, 32) and o2.shape == (9, 32, 32)

@@ -179,3 +179,28 @@ def test_margin_metrics_helper():
     assert m["prec"] == pytest.approx(1.0, abs=1e-5)
     m0 = margin_metrics(yt, yp, margin=0)
     assert m0["prec"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_glm_ragged_datasets_and_guards(tmp_path):
+    """GLM fit must (a) accept datasets with DIFFERENT trace lengths
+    (padded + loss-masked), (b) reject a split that leaves zero train or
+    val traces, and (c) reject nb_epochs < 1 — previously (a) crashed in
+    np.concatenate and (b) silently checkpointed an untrained init with
+    NaN metrics."""
+    from deepcalcium_tpu.data.fixtures import make_spikes_hdf5
+    from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
+
+    p1 = make_spikes_hdf5(str(tmp_path / "a.hdf5"), nb_traces=8,
+                          trace_len=256, seed=1)
+    p2 = make_spikes_hdf5(str(tmp_path / "b.hdf5"), nb_traces=8,
+                          trace_len=384, seed=2)
+    model = GLMSegmentation(cpdir=str(tmp_path / "cp"), filter_len=21)
+    mt, mv, ckpt = model.fit([p1, p2], nb_epochs=60, seed=3)
+    assert np.isfinite(mv["F2"]) and ckpt
+
+    one = make_spikes_hdf5(str(tmp_path / "one.hdf5"), nb_traces=1,
+                           trace_len=128, seed=4)
+    with pytest.raises(ValueError, match="empty split"):
+        model.fit([one])
+    with pytest.raises(ValueError, match="nb_epochs"):
+        model.fit([p1], nb_epochs=0)
