@@ -37,6 +37,8 @@ __all__ = [
     "GENERATOR_CODES",
     "tta_expand",
     "tta_collapse",
+    "tta_expand_np",
+    "tta_collapse_np",
     "apply_d4",
     "apply_d4_batch",
     "compose_random_walk",
@@ -121,6 +123,37 @@ def tta_collapse(preds):
         inv(preds[i]) for i, (_, _, inv) in enumerate(INVERTIBLE_2D_AUGMENTATIONS)
     ]
     return jnp.mean(jnp.stack(inverted), axis=0)
+
+
+# --- Host-side twins ---------------------------------------------------------
+# np.flip/np.rot90 share semantics with the jnp ops above; parity is pinned
+# by tests/test_augment.py. These exist so host-resident pipelines
+# (predict_tta's batching layer) can expand/collapse without shipping the
+# 8x-expanded tensors across a thin host<->device link.
+
+_NP_AUGS = [
+    ("identity", lambda x: x, lambda x: x),
+    ("vflip", lambda x: np.flip(x, 1), lambda x: np.flip(x, 1)),
+    ("hflip", lambda x: np.flip(x, 2), lambda x: np.flip(x, 2)),
+    ("rot90", lambda x: np.rot90(x, 1, (1, 2)), lambda x: np.rot90(x, -1, (1, 2))),
+    ("rot180", lambda x: np.rot90(x, 2, (1, 2)), lambda x: np.rot90(x, -2, (1, 2))),
+    ("rot270", lambda x: np.rot90(x, 3, (1, 2)), lambda x: np.rot90(x, -3, (1, 2))),
+    ("rot90vflip", lambda x: np.flip(np.rot90(x, 1, (1, 2)), 1),
+     lambda x: np.flip(np.rot90(x, 1, (1, 2)), 1)),
+    ("rot90hflip", lambda x: np.flip(np.rot90(x, 1, (1, 2)), 2),
+     lambda x: np.flip(np.rot90(x, 1, (1, 2)), 2)),
+]
+
+
+def tta_expand_np(batch):
+    """Host-side :func:`tta_expand`: (B, H, W) numpy -> (8, B, H, W)."""
+    return np.stack([fwd(batch) for _, fwd, _ in _NP_AUGS])
+
+
+def tta_collapse_np(preds):
+    """Host-side :func:`tta_collapse`: (8, B, H, W) numpy -> (B, H, W)."""
+    inverted = [inv(preds[i]) for i, (_, _, inv) in enumerate(_NP_AUGS)]
+    return np.mean(np.stack(inverted), axis=0)
 
 
 # --- Train-time random augmentation ------------------------------------------

@@ -20,7 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deepcalcium_tpu.ops.augment import tta_collapse, tta_expand
+from deepcalcium_tpu.ops.augment import (tta_collapse, tta_collapse_np,
+                                          tta_expand, tta_expand_np)
 from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
 
 __all__ = ["reflect_pad_to", "predict_batched", "predict_tta",
@@ -232,8 +233,16 @@ def _run_batched(fwd, params, state, batch_np, mesh=None, max_batch=None):
     for i in range(0, n, max_batch):
         slab = batch_np[i : i + max_batch]
         true = slab.shape[0]
+        if true < max_batch:
+            # Zero-pad the ragged tail slab to the compiled batch shape:
+            # a second batch shape re-specializes the full forward
+            # (~25-200 s through a remote-compile service) — same rule as
+            # StreamingSummary's chunk padding. Crop below via [:true].
+            slab = np.concatenate(
+                [slab, np.zeros((max_batch - true,) + slab.shape[1:],
+                                slab.dtype)])
         if mesh is not None:
-            slab, true = pad_batch_to(slab, mesh.devices.size)
+            slab, _ = pad_batch_to(slab, mesh.devices.size)
             slab = shard_batch(mesh, slab)
         out = np.asarray(fwd(params, state, jnp.asarray(slab)))
         outs.append(out[:true])
@@ -316,16 +325,16 @@ def predict_tta(fwd, params, state, images, window=(512, 512), mesh=None,
     """
     hw, ww = window
     batch = np.stack([reflect_pad_to(np.asarray(s, np.float32), hw, ww) for s in images])
-    # Expand the 8 views ON DEVICE and leave them there: np.asarray-ing the
-    # expansion shipped 8x the batch back to host only for _run_batched to
-    # ship it to the device again (3x the link traffic of the batch —
-    # ~100 MB extra for the 11-dataset case through a ~250 MB/s link). The
-    # mesh path still needs host arrays for pad/shard.
-    views = tta_expand(jnp.asarray(batch))  # (8, B, hw, ww)
+    # Expand AND collapse the 8 views on HOST (numpy twins of
+    # tta_expand/tta_collapse, parity-tested): view expansion on device
+    # shipped the 8x-expanded tensor across the link twice (down to host,
+    # back up through _run_batched), and collapsing on device re-uploaded
+    # all 8N prob maps a third time just to flip-and-mean — ~184 MB of
+    # avoidable traffic for the 11-dataset case through a ~250 MB/s link.
+    # The flips themselves are view-cheap in numpy.
+    views = tta_expand_np(batch)  # (8, B, hw, ww)
     n = batch.shape[0]
     flat = views.reshape(8 * n, hw, ww)
-    if mesh is not None:
-        flat = np.asarray(flat)
     probs = _run_batched(fwd, params, state, flat, mesh=mesh, max_batch=max_batch)
-    merged = np.asarray(tta_collapse(jnp.asarray(probs.reshape(8, n, hw, ww))))
+    merged = tta_collapse_np(probs.reshape(8, n, hw, ww))
     return [p[: s.shape[0], : s.shape[1]] for p, s in zip(merged, images)]

@@ -38,11 +38,20 @@ def get_config() -> dict:
             "datasets_dir": os.path.join(bd, "datasets"),
             "checkpoints_dir": os.path.join(bd, "checkpoints"),
         }
-        with open(cp, "w") as fp:
+        # tmp+rename: a crash mid-write must not leave a truncated JSON
+        # that bricks every later get_config() call.
+        tmp = cp + ".tmp"
+        with open(tmp, "w") as fp:
             json.dump(config, fp)
+        os.replace(tmp, cp)
     else:
-        with open(cp, "r") as fp:
-            config = json.load(fp)
+        try:
+            with open(cp, "r") as fp:
+                config = json.load(fp)
+        except json.JSONDecodeError as e:
+            raise RuntimeError(
+                f"config file {cp} is corrupt ({e}); delete it to "
+                f"regenerate defaults") from e
     os.makedirs(config["datasets_dir"], exist_ok=True)
     os.makedirs(config["checkpoints_dir"], exist_ok=True)
     return config

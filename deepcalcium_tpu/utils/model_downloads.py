@@ -30,6 +30,11 @@ def download_model(url: str, save_path: str) -> str:
         return save_path
     logger.info("Downloading model from %s to %s", url, save_path)
     os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-    request.urlretrieve(url, save_path)
+    # tmp+rename: idempotency keys on save_path existing, so a partial
+    # download must never land there (it would be treated as complete
+    # forever after).
+    tmp = save_path + ".tmp"
+    request.urlretrieve(url, tmp)
+    os.replace(tmp, save_path)
     logger.info("Download complete.")
     return save_path

@@ -121,7 +121,10 @@ def dataset_to_mp4(s, m, mp4_path):
     s = np.asarray(s, np.float32)
     s = (s - s.min()) / max(s.max() - s.min(), 1e-9) * 255
 
-    video = np.repeat(s[..., None], 3, axis=-1).astype(np.uint8)
+    # Cast BEFORE replicating to RGB: repeating the float32 movie first
+    # materializes a ~12 B/px transient (~9.4 GB for a 3000x512^2 movie) on
+    # a small host; uint8-first is 1/4 of that.
+    video = np.repeat(s.astype(np.uint8)[..., None], 3, axis=-1)
     if m is not None:
         edges = np.zeros(s.shape[1:], bool)
         for i in range(m.shape[0]):
@@ -148,6 +151,9 @@ def dataset_to_mp4(s, m, mp4_path):
         pass
     frames_dir = mp4_path + ".frames"
     os.makedirs(frames_dir, exist_ok=True)
-    for i in range(0, len(video), max(1, len(video) // 100)):
+    step = max(1, len(video) // 100)
+    for i in range(0, len(video), step):
         save_png(os.path.join(frames_dir, f"frame_{i:06d}.png"), video[i])
-    logger.warning("No video writer available; wrote PNG frames to %s", frames_dir)
+    logger.warning(
+        "No video writer available; wrote every %dth frame (%d PNGs of %d "
+        "total) to %s", step, -(-len(video) // step), len(video), frames_dir)

@@ -75,7 +75,16 @@ int decode_one(const char* path, int16_t* out, int height, int width) {
     } else {  // 32-bit int (PIL mode "I") or float
       if (fmt == SAMPLEFORMAT_IEEEFP) {
         const float* src = (const float*)row.data();
-        for (uint32_t x = 0; x < w; ++x) dst[x] = (int16_t)src[x];
+        // Clamp before the cast: float->int16 outside [-32768, 32767] is
+        // undefined behavior in C++ (silently corrupt pixels on a bright
+        // frame, with status 0). NaN maps to 0.
+        for (uint32_t x = 0; x < w; ++x) {
+          float v = src[x];
+          if (!(v == v)) v = 0.0f;                     // NaN
+          if (v > 32767.0f) v = 32767.0f;
+          if (v < -32768.0f) v = -32768.0f;
+          dst[x] = (int16_t)v;
+        }
       } else {
         const int32_t* src = (const int32_t*)row.data();
         for (uint32_t x = 0; x < w; ++x) dst[x] = (int16_t)src[x];

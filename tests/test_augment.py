@@ -91,3 +91,22 @@ def test_compose_random_walk_matches_sequential(rng, batch):
             g = A.GENERATOR_CODES[int(r2.integers(0, 6))]
             img = fns[g](img)
         np.testing.assert_array_equal(fns[code](batch), img)
+
+
+def test_np_twins_match_jnp_tta():
+    """tta_expand_np/tta_collapse_np (the host-side batching-layer twins)
+    must match the jnp originals exactly for every view."""
+    import jax.numpy as jnp
+
+    from deepcalcium_tpu.ops.augment import (tta_collapse, tta_collapse_np,
+                                             tta_expand, tta_expand_np)
+
+    rng = np.random.default_rng(0)
+    batch = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    vj = np.asarray(tta_expand(jnp.asarray(batch)))
+    vn = tta_expand_np(batch)
+    np.testing.assert_array_equal(vj, vn)
+    preds = rng.standard_normal((8, 3, 16, 16)).astype(np.float32)
+    cj = np.asarray(tta_collapse(jnp.asarray(preds)))
+    cn = tta_collapse_np(preds)
+    np.testing.assert_allclose(cj, cn, rtol=1e-6, atol=1e-7)
