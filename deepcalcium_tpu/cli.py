@@ -50,10 +50,27 @@ def cmd_convert(args):
     print(args.dst)
 
 
+# float32 = Keras-parity numerics (wrapper default); bfloat16 = the
+# benchmarked fast configuration (~2x MXU rate, threshold-level-identical
+# masks — bench.py measures this one).
+_DTYPES = {"float32": None, "bfloat16": "bfloat16"}
+
+
+def _add_dtype_flag(p, default):
+    p.add_argument("--dtype", default=default,
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype: float32 = reference-parity "
+                        "numerics, bfloat16 = the benchmarked fast config")
+
+
 def cmd_train(args):
     from deepcalcium_tpu.data.nf import nf_load_hdf5
     from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
 
+    if args.window % 16 or args.window < 16:
+        raise SystemExit(f"--window {args.window} must be a multiple of 16 "
+                         f"(4 pooling levels) — failing before the "
+                         f"disk-bound dataset summaries")
     dspaths = nf_load_hdf5(args.dataset_name)
     shape_trn = (args.window, args.window)
     # 512²-window training recommends remat (2x faster + fits HBM; see
@@ -87,7 +104,8 @@ def cmd_evaluate(args):
     from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
 
     dspaths = nf_load_hdf5(args.dataset_name)
-    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir),
+                          compute_dtype=_DTYPES[args.dtype])
     for aug in _tta_passes(args.tta):
         logging.getLogger("evaluate").info(
             "Evaluation with%s.", " TTA" if aug else "out TTA")
@@ -101,7 +119,8 @@ def cmd_predict(args):
     from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
 
     dspaths = nf_load_hdf5(args.dataset_name)
-    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir),
+                          compute_dtype=_DTYPES[args.dtype])
     tic = int(time.time())
     for aug in _tta_passes(args.tta):
         Mp, names = model.predict(dspaths, model_path=args.model_path,
@@ -115,10 +134,17 @@ def cmd_predict(args):
 
 def cmd_spikes_train(args):
     if args.arch in ("glm", "stm"):
+        if args.val_type != "random_split":
+            raise SystemExit(
+                f"--val_type {args.val_type} is unet1d-only (the GLM/STM "
+                f"baseline trains full-batch on one random split)")
         from deepcalcium_tpu.models.glm_spikes import GLMSegmentation
 
         model = GLMSegmentation(cpdir=args.checkpoints_dir, arch=args.arch)
-        mt, mv, path = model.fit(args.dataset_paths)
+        # GLM epochs are full-batch passes; the unet default (20) is far too
+        # few — keep the model default unless the user set -e explicitly.
+        kw = {"nb_epochs": args.epochs} if args.epochs != 20 else {}
+        mt, mv, path = model.fit(args.dataset_paths, **kw)
         print(f"best: {path} (val_F2={mv['F2']:.3f})")
         return
     from deepcalcium_tpu.models.unet_1d_segmentation import UNet1DSegmentation
@@ -163,7 +189,12 @@ def cmd_evaluate_movie(args):
     from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
     from deepcalcium_tpu.utils.visualization import mask_outlines, save_png
 
-    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir))
+    if args.window % 16 or args.window < 16:
+        raise SystemExit(f"--window {args.window} must be a multiple of 16 "
+                         f"(4 pooling levels) — failing before the movie "
+                         f"summary pass")
+    model = UNet2DSummary(cpdir=_neurons_cpdir(args.checkpoints_dir),
+                          compute_dtype=_DTYPES[args.dtype])
     mask, prob = model.evaluate_movie(
         args.movie, model_path=args.model_path,
         window_shape=(args.window, args.window), tta=not args.no_tta,
@@ -194,7 +225,8 @@ def cmd_segment(args):
     out_path = args.out or (os.path.splitext(args.movie)[0] + "_masks.hdf5")
     with h5py.File(args.movie, "r") as fp:
         masks = segment_movie(params, state, fp["series/raw"],
-                              slab=args.slab, threshold=args.threshold)
+                              slab=args.slab, threshold=args.threshold,
+                              compute_dtype=_DTYPES[args.dtype])
     tmp = out_path + ".tmp"
     with h5py.File(tmp, "w") as fp:
         fp.create_dataset("masks/frames", data=masks,
@@ -210,7 +242,7 @@ def build_parser():
     sp = ap.add_subparsers(title="actions", required=True)
 
     p = sp.add_parser("train", help="Train UNet2DS on Neurofinder datasets.")
-    p.add_argument("dataset_name", default="all_train", type=str)
+    p.add_argument("dataset_name", nargs="?", default="all_train", type=str)
     p.add_argument("-m", "--model_path")
     p.add_argument("-c", "--checkpoints_dir")
     p.add_argument("-e", "--epochs", type=int, default=10)
@@ -252,18 +284,20 @@ def build_parser():
     p.set_defaults(func=cmd_train)
 
     p = sp.add_parser("evaluate", help="Evaluate with and without TTA.")
-    p.add_argument("dataset_name", default="all_train", type=str)
+    p.add_argument("dataset_name", nargs="?", default="all_train", type=str)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-c", "--checkpoints_dir")
+    _add_dtype_flag(p, "float32")
     p.add_argument("--tta", default="both", choices=["both", "on", "off"],
                    help="'both' runs a TTA pass then a plain pass "
                         "(reference behavior)")
     p.set_defaults(func=cmd_evaluate)
 
     p = sp.add_parser("predict", help="Predict + write submission JSONs.")
-    p.add_argument("dataset_name", default="all", type=str)
+    p.add_argument("dataset_name", nargs="?", default="all", type=str)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-c", "--checkpoints_dir")
+    _add_dtype_flag(p, "float32")
     p.add_argument("--tta", default="both", choices=["both", "on", "off"])
     p.set_defaults(func=cmd_predict)
 
@@ -312,6 +346,7 @@ def build_parser():
     p.add_argument("-c", "--checkpoints_dir")
     p.add_argument("--window", type=int, default=512)
     p.add_argument("--threshold", type=float, default=0.5)
+    _add_dtype_flag(p, "float32")
     p.add_argument("--no-tta", action="store_true")
     p.add_argument("--out", help="write mask+prob to this .npz")
     p.add_argument("--png", help="write an outlined summary PNG here")
@@ -324,6 +359,7 @@ def build_parser():
     p.add_argument("-m", "--model_path", required=True,
                    help=".ckpt or Keras .hdf5")
     p.add_argument("-c", "--checkpoints_dir")
+    _add_dtype_flag(p, "bfloat16")  # segment_movie's existing default
     p.add_argument("--slab", type=int, default=64,
                    help="frames per device batch")
     p.add_argument("--threshold", type=float, default=0.5)

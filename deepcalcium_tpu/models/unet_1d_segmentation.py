@@ -148,10 +148,18 @@ class UNet1DSegmentation:
         ``ceil(n_train_traces / batch)``. Semantically identical to K=1.
         """
         logger = logging.getLogger(funcname())
-        assert len(shape) == 1
-        assert val_type in ("random_split", "cross_validate")
-        assert nb_folds > 1
-        assert abs(prop_trn + prop_val - 1.0) < 1e-9
+        # ValueError, not assert: user-facing knob validation must survive
+        # python -O (a stripped val_type assert would silently run k-fold
+        # on a typo and change the return type).
+        if len(shape) != 1:
+            raise ValueError(f"shape must be (window_len,), got {shape}")
+        if val_type not in ("random_split", "cross_validate"):
+            raise ValueError(f"unknown val_type {val_type!r}")
+        if nb_folds <= 1:
+            raise ValueError(f"nb_folds={nb_folds} must be > 1")
+        if abs(prop_trn + prop_val - 1.0) > 1e-9:
+            raise ValueError(f"prop_trn + prop_val must be 1, got "
+                             f"{prop_trn} + {prop_val}")
 
         traces = [t for p in dataset_paths for t in self.dataset_traces_func(p)]
         spikes = [s for p in dataset_paths for s in self.dataset_spikes_func(p)]
@@ -176,10 +184,12 @@ class UNet1DSegmentation:
             logger.info("Best model path: %s", bmp)
             return mt, mv, bmp
 
-        # K-fold cross-validation (reference :344-380).
+        # K-fold cross-validation (reference :344-380). array_split spreads
+        # the remainder over the first folds — len % nb_folds traces must
+        # not silently vanish from every fold (the reference's fixed-size
+        # slicing dropped them).
         idxs = rng.permutation(len(traces))
-        fsz = len(idxs) // nb_folds
-        folds = [idxs[fsz * n : fsz * n + fsz] for n in range(nb_folds)]
+        folds = np.array_split(idxs, nb_folds)
         metrics_trn, metrics_val = [], []
         for val_idx in range(nb_folds):
             idxs_trn = np.concatenate(
@@ -214,9 +224,12 @@ class UNet1DSegmentation:
         optimizer = T.make_optimizer(learning_rate,
                                      weight_decay=weight_decay)
         opt_state = optimizer.init(params)
-        apply_fn = functools.partial(
-            self.net_apply_func, margin=int(margin),
-            compute_dtype=self.compute_dtype)
+        # Identity-stable partial: make_eval_forward/make_train_step cache
+        # on apply_fn identity; a fresh partial per fold recompiled the
+        # eval forward every cross-validation fold.
+        apply_fn = T.stable_apply_fn(self, self.net_apply_func,
+                                     margin=int(margin),
+                                     compute_dtype=self.compute_dtype)
         tr_trn = [traces[i] for i in idxs_trn]
         sp_trn = [spikes[i] for i in idxs_trn]
         tr_val = [traces[i] for i in idxs_val]
@@ -421,8 +434,17 @@ class UNet1DSegmentation:
             padded, t = _pad_to_multiple(traces, 16)
             preds = []
             for i in range(0, padded.shape[0], batch):
-                out = np.asarray(fwd(params, state, jnp.asarray(padded[i : i + batch])))
-                preds.append(out[:, :t])
+                slab = padded[i : i + batch]
+                true = slab.shape[0]
+                if true < batch and padded.shape[0] > batch:
+                    # Zero-pad the ragged tail slab to the compiled batch
+                    # shape — a second batch shape recompiles the full
+                    # forward (same rule as evaluate._run_batched).
+                    slab = np.concatenate(
+                        [slab, np.zeros((batch - true,) + slab.shape[1:],
+                                        slab.dtype)])
+                out = np.asarray(fwd(params, state, jnp.asarray(slab)))
+                preds.append(out[:true, :t])
             spikes_pred = np.concatenate(preds, axis=0)
             spikes_pred_all.append((spikes_pred > threshold).astype(np.uint8))
         return spikes_pred_all, names_all

@@ -223,9 +223,16 @@ class UNet2DSummary:
         impls.
         """
         logger = logging.getLogger(funcname())
-        assert shape_trn[0] == shape_trn[1] and shape_val[0] == shape_val[1]
-        assert 0 < prop_trn < 1 and 0 < prop_val < 1
-        assert not (proceed and not model_path)
+        # ValueError, not assert: user-facing knob validation must survive
+        # python -O (a stripped assert silently mis-trains).
+        if shape_trn[0] != shape_trn[1] or shape_val[0] != shape_val[1]:
+            raise ValueError(f"square windows required: {shape_trn}, "
+                             f"{shape_val}")
+        if not (0 < prop_trn < 1 and 0 < prop_val < 1):
+            raise ValueError(f"prop_trn={prop_trn}, prop_val={prop_val} "
+                             f"must lie in (0, 1)")
+        if proceed and not model_path:
+            raise ValueError("proceed=True requires model_path")
         kdisp = int(steps_per_dispatch)
         # ValueError, not assert (must survive python -O), and validated
         # FIRST: a knob typo must not cost the minutes of disk-bound
@@ -256,6 +263,13 @@ class UNet2DSummary:
         # Row bands: train from the top, validate at the bottom (:406-409).
         yctrn = [(0, int(s.shape[0] * prop_trn)) for s in S]
         ycval = [(s.shape[0] - int(s.shape[0] * prop_val), s.shape[0]) for s in S]
+        for nm, s_ in zip(names, S):
+            # A zero-row band crashes with an obscure zero-size reduction at
+            # the END of epoch 0 (after compile + a full epoch) — fail now.
+            if int(s_.shape[0] * prop_val) < 1 or int(s_.shape[0] * prop_trn) < 1:
+                raise ValueError(
+                    f"{nm}: prop_trn={prop_trn}/prop_val={prop_val} round "
+                    f"to an empty row band on a {s_.shape[0]}-row image")
 
         # Model + optimizer.
         optimizer = T.make_optimizer(learning_rate, weight_decay=weight_decay)
@@ -488,6 +502,10 @@ class UNet2DSummary:
                     f"model_path='latest' but no checkpoint exists in "
                     f"{self.cpdir}")
             model_path = resolved
+        # Provenance: the RESOLVED checkpoint must be in the logs (a bare
+        # "Loaded model from latest" identifies nothing).
+        logging.getLogger(funcname()).info("loading params from %s",
+                                           model_path)
         if str(model_path).endswith((".hdf5", ".h5")):
             from deepcalcium_tpu.interop.keras_import import load_unet2ds_keras
 

@@ -105,3 +105,23 @@ def test_cli_train_perf_knobs_parse():
                        "2", "--weight-decay", "1e-5", "--prng-impl", "rbg"])
     assert (a.steps_per_dispatch, a.weight_decay, a.prng_impl) == (
         2, 1e-5, "rbg")
+
+
+def test_cli_dtype_and_positional_defaults():
+    """--dtype must parse on the four inference commands (float32 parity
+    default; segment keeps its bfloat16 default), and the dataset_name
+    positionals must actually be optional (argparse ignores default= on
+    required positionals — the declared defaults were dead)."""
+    from deepcalcium_tpu.cli import build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(["train"])
+    assert a.dataset_name == "all_train"
+    a = ap.parse_args(["predict", "-m", "m.ckpt"])
+    assert a.dataset_name == "all" and a.dtype == "float32"
+    a = ap.parse_args(["evaluate", "-m", "m.ckpt", "--dtype", "bfloat16"])
+    assert a.dataset_name == "all_train" and a.dtype == "bfloat16"
+    a = ap.parse_args(["evaluate-movie", "mv.hdf5", "-m", "m.ckpt"])
+    assert a.dtype == "float32"
+    a = ap.parse_args(["segment", "mv.hdf5", "-m", "m.ckpt"])
+    assert a.dtype == "bfloat16"
