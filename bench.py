@@ -127,7 +127,10 @@ def main():
         int(cks)  # scalar host fetch = full drain
         return time.perf_counter() - tic
 
-    # Warm-up (compile) excluded from timing.
+    # Warm-up excluded from timing: TWO dispatches — compile lands on the
+    # first, the ~23 s first-run remote executable load on the SECOND
+    # (CLAUDE.md timing gotchas; same rule as benchtools/slope_timing).
+    timed(1)
     timed(1)
     # Slope method: per-iteration time from the 22-vs-2 difference, which
     # cancels the constant dispatch/fetch latency of the tunnel.
@@ -168,8 +171,11 @@ def main():
     # costs (~23 s first-run load — which lands on the SECOND dispatch
     # through the tunnel, hence TWO warm-up calls). Same fast_fn identity
     # => the cached evaluator is reused by the timed call.
+    # Warm with ONE FULL 256-frame chunk (the streaming default): a smaller
+    # slab would compile a different _streaming_device_update specialization
+    # and the timed run would pay a mid-stream compile on device backends.
     for _ in range(2):
-        evaluate_movie_streaming(fast_fn, params, state, movie_host[:64],
+        evaluate_movie_streaming(fast_fn, params, state, movie_host[:256],
                                  window=(512, 512), tta=True)
     tic = time.perf_counter()
     mask, _, _ = evaluate_movie_streaming(fast_fn, params, state, movie_host,
@@ -216,7 +222,12 @@ def main():
         "host_sum_MBps": round(host_mbps, 1),
         # Streaming-path routing evidence (see auto_backend).
         "streaming_backend": ss_backend,
-        "probe_mbps": round(probe_mbps, 1),
+        # CPU backends probe inf; keep the line strict-JSON (no Infinity).
+        "probe_mbps": (round(probe_mbps, 1)
+                       if np.isfinite(probe_mbps) else None),
+        # Self-diagnosing provenance: a cpu here means the accelerator
+        # plugin fell back and these are NOT chip numbers.
+        "jax_backend": jax.default_backend(),
         # Training: W-packed gradient step at the reference recipe shape
         # (batch 20 @ 128², bf16), slope-measured device time.
         "train_step_ms": round(dt_train * 1e3, 2),

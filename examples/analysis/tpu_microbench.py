@@ -30,7 +30,8 @@ def slope_time(fn, arg, iters=20):
     def drain(x):
         return float(jnp.sum(x[0]))
 
-    drain(fn(arg))  # compile + warm
+    drain(fn(arg))  # compile
+    drain(fn(arg))  # warm (first-run executable load through the tunnel)
     ts = {}
     for n in (2, 2 + iters):
         tic = time.perf_counter()

@@ -32,10 +32,11 @@ Usage: python examples/analysis/train_layer_bench.py [--csv out.csv]
 """
 
 import argparse
+import os
 import sys
-import time
 
 sys.path.append(".")
+sys.path.append(os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
@@ -45,25 +46,9 @@ enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
+from slope_timing import slope_time  # noqa: E402 (shared tunnel-safe timer)
+
 PEAK_TFLOPS = 197e12  # v5e bf16
-
-
-def slope_time(fn, args, iters=20):
-    def drain(out):
-        leaf = jax.tree.leaves(out)[0]
-        return float(jnp.sum(leaf.astype(jnp.float32)))
-
-    drain(fn(*args))  # compile
-    drain(fn(*args))  # first-run executable load (~23 s on the tunnel)
-    ts = {}
-    for n in (2, 2 + iters):
-        tic = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(*args)
-        drain(out)
-        ts[n] = time.perf_counter() - tic
-    return (ts[2 + iters] - ts[2]) / iters
 
 
 _DN = ("NHWC", "HWIO", "NHWC")

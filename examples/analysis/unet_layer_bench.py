@@ -38,7 +38,8 @@ def slope_time(fn, args, iters=20):
         leaf = jax.tree.leaves(out)[0]
         return float(jnp.sum(leaf.astype(jnp.float32)))
 
-    drain(fn(*args))  # compile + warm
+    drain(fn(*args))  # compile
+    drain(fn(*args))  # warm (first-run executable load through the tunnel)
     ts = {}
     for n in (2, 2 + iters):
         tic = time.perf_counter()

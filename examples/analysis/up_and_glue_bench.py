@@ -44,8 +44,9 @@ def main():
             return jax.nn.relu(y.reshape(bsz, 2 * r, 2 * r, o))
 
         fl = 2 * B * res * res * 4 * cin * cout
-        print(f"{name} direct  {slope_time(direct, (h,))*1e3:7.3f} ms "
-              f"({fl/slope_time(direct, (h,))/1e12:5.1f} TFLOP/s)", flush=True)
+        dt_direct = slope_time(direct, (h,))
+        print(f"{name} direct  {dt_direct*1e3:7.3f} ms "
+              f"({fl/dt_direct/1e12:5.1f} TFLOP/s)", flush=True)
         print(f"{name} staged  {slope_time(staged, (h,))*1e3:7.3f} ms",
               flush=True)
 

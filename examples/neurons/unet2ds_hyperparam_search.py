@@ -105,7 +105,7 @@ def main():
     from deepcalcium_tpu.utils.config import checkpoints_dir
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("dataset_name", default="all_train",
+    ap.add_argument("dataset_name", nargs="?", default="all_train",
                     help="Neurofinder name(s), or --paths for local HDF5s, "
                          "or 'fixtures' with --make-fixtures")
     ap.add_argument("--paths", nargs="*", default=None,
@@ -116,7 +116,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--steps-per-dispatch", type=int, default=10)
-    ap.add_argument("--val-shape", type=int, default=128)
+    ap.add_argument("--val-shape", type=int, default=512,
+                    help="must be >= the summary image side (512 covers real\n                    Neurofinder; fixture sweeps pass their fixture size)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=865)
     args = ap.parse_args()
