@@ -17,7 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Redirect config/datasets/checkpoints away from the user's home directory.
 _tmp = tempfile.mkdtemp(prefix="dc_tpu_test_")
-os.environ.setdefault("DEEPCALCIUM_TPU_DIR", _tmp)
+# Unconditional: an exported DEEPCALCIUM_TPU_DIR (e.g. for bench runs)
+# must not leak the user's real data dir into the hermetic test session.
+os.environ["DEEPCALCIUM_TPU_DIR"] = _tmp
 
 import jax  # noqa: E402
 

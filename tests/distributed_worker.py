@@ -42,6 +42,9 @@ def main(port: int, rank: int, out: str) -> None:
     assert jax.process_count() == 2, jax.process_count()
     mesh = pod_mesh()
     assert mesh.devices.size == 4, mesh  # 2 procs x 2 local devices
+    # Marker for the test: coordination succeeded — any failure AFTER this
+    # line is a real product bug, not an environment limitation.
+    print("MESH_OK", flush=True)
 
     # Deterministic GLOBAL batch; each process materializes only its half.
     gen = np.random.default_rng(0)

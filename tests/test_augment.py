@@ -29,12 +29,12 @@ def _np_fns():
 
 def test_forward_matches_numpy_reference(batch):
     for (name, fwd, _), np_fwd in zip(A.INVERTIBLE_2D_AUGMENTATIONS, _np_fns()):
-        np.testing.assert_array_equal(np.asarray(fwd(batch)), np_fwd(batch)), name
+        np.testing.assert_array_equal(np.asarray(fwd(batch)), np_fwd(batch), err_msg=name)
 
 
 def test_inverse_is_identity(batch):
     for name, fwd, inv in A.INVERTIBLE_2D_AUGMENTATIONS:
-        np.testing.assert_array_equal(np.asarray(inv(fwd(batch))), batch), name
+        np.testing.assert_array_equal(np.asarray(inv(fwd(batch))), batch, err_msg=name)
 
 
 def test_eight_distinct_views(batch):

@@ -68,3 +68,22 @@ def test_segment_movie_reuses_executable():
     info = _make_segment_slab.cache_info()
     assert info.misses == 1 and info.hits == 1, info
     assert o1.shape == (6, 32, 32) and o2.shape == (9, 32, 32)
+
+
+def test_segment_movie_auto_dispatch_resolution():
+    """The stock transpose-mode checkpoint must resolve to the W-packed
+    inference forward; an upsampling-mode one to the parity forward — if
+    this regresses, the fast-vs-parity equality test elsewhere becomes
+    vacuous (both sides run the same forward)."""
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.models.movie_segmentation import (_UPSAMPLING_APPLY,
+                                                           _resolve_apply)
+    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w
+
+    params_t, _ = unet2d.init(jax.random.PRNGKey(0), nfb=4)
+    assert _resolve_apply(None, params_t) is apply_fast_w
+    params_u, _ = unet2d.init(jax.random.PRNGKey(0), nfb=4,
+                              up_mode="upsampling")
+    assert _resolve_apply(None, params_u) is _UPSAMPLING_APPLY
+    marker = object()
+    assert _resolve_apply(marker, params_t) is marker

@@ -140,7 +140,8 @@ def test_sj_matlab_loader_flat_schema(tmp_path):
     from scipy.io import savemat
 
     import sys
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
     from examples.neurons.unet2ds_sj import load_matlab_centers
 
     p = str(tmp_path / "ann.mat")

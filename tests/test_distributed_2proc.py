@@ -54,18 +54,25 @@ def test_two_process_step_matches_single(tmp_path):
             so, se = p.communicate(timeout=420)
             outs.append((p.returncode, so, se))
     except subprocess.TimeoutExpired:
+        outs = []
         for p in procs:
             p.kill()
-        pytest.skip("two-process jax.distributed run timed out "
-                    "(coordinator/collectives unavailable here)")
-
+            so, se = p.communicate()
+            outs.append((124, so, se))
+    # Skip ONLY when the mesh never formed (environment limitation):
+    # a timeout/crash AFTER both ranks printed MESH_OK is a real deadlock
+    # or product bug and must FAIL, not skip — otherwise this test can
+    # never catch the regression class it exists for.
+    mesh_formed = all("MESH_OK" in so for _, so, _ in outs)
     if any(rc != 0 for rc, _, _ in outs):
         msgs = "\n".join(se[-2000:] for _, _, se in outs)
-        if any(k in msgs for k in ("bind", "address already in use",
-                                   "DEADLINE_EXCEEDED", "UNAVAILABLE")):
+        if not mesh_formed:
+            # Coordination never completed: port binding / collectives are
+            # environment-dependent here.
             pytest.skip(f"distributed init failed in this environment:\n"
                         f"{msgs[-500:]}")
-        raise AssertionError(f"worker failed:\n{msgs}")
+        raise AssertionError(
+            f"worker failed AFTER mesh formation (real bug):\n{msgs}")
 
     with open(out) as fp:
         res = json.load(fp)

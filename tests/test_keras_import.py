@@ -16,7 +16,8 @@ from deepcalcium_tpu.interop.keras_import import (
 from deepcalcium_tpu.models import unet1d, unet2d
 
 
-def _write_keras_h5(path, layer_table, weightless_every=3, kind_1d=False):
+def _write_keras_h5(path, layer_table, expected_shapes,
+                    weightless_every=3, kind_1d=False):
     """Write a Keras-2.0.6-layout file for the given layer table."""
     rng = np.random.default_rng(0)
     conv_prefix = "conv1d" if kind_1d else "conv2d"
@@ -30,7 +31,6 @@ def _write_keras_h5(path, layer_table, weightless_every=3, kind_1d=False):
         layer_names.append(nm)
         groups[nm] = {}
 
-    cin = 1
     for i, (name, kind, cout) in enumerate(layer_table):
         if i % weightless_every == 0:
             add_weightless()
@@ -58,7 +58,6 @@ def _write_keras_h5(path, layer_table, weightless_every=3, kind_1d=False):
         layer_names.append(lname)
         groups[lname] = ws
         expected[name] = ws
-        cin = cout
 
     with h5py.File(path, "w") as fp:
         fp.attrs["model_config"] = b"{}"
@@ -90,10 +89,8 @@ def init_shapes_1d():
 
 
 def test_unet2ds_import_roundtrip(tmp_path, init_shapes_2d):
-    global expected_shapes
-    expected_shapes = init_shapes_2d
     path = str(tmp_path / "unet2ds_model.hdf5")
-    expected = _write_keras_h5(path, unet2d.layer_order(4))
+    expected = _write_keras_h5(path, unet2d.layer_order(4), init_shapes_2d)
 
     params, state = load_unet2ds_keras(path, nfb=4)
 
@@ -118,21 +115,33 @@ def test_unet2ds_import_roundtrip(tmp_path, init_shapes_2d):
 
 
 def test_unet1d_import_roundtrip(tmp_path, init_shapes_1d):
-    global expected_shapes
-    expected_shapes = init_shapes_1d
     path = str(tmp_path / "unet1d_model.hdf5")
-    _write_keras_h5(path, unet1d.layer_order(4), kind_1d=True)
+    expected = _write_keras_h5(path, unet1d.layer_order(4), init_shapes_1d,
+                               kind_1d=True)
     params, state = load_unet1d_keras(path, nfb=4)
+    # VALUES, not just shape: a slot-swap bug (gamma/beta crossed, two
+    # same-width convs exchanged) yields a valid shape but wrong numerics.
+    for name in params:
+        ws = expected[name]
+        for key in params[name]:
+            src = [v for k, v in ws.items() if f"/{key}:" in k][0]
+            np.testing.assert_array_equal(params[name][key], src)
+    for name in state:
+        ws = expected[name]
+        np.testing.assert_array_equal(
+            state[name]["mean"],
+            [v for k, v in ws.items() if "moving_mean" in k][0])
+        np.testing.assert_array_equal(
+            state[name]["var"],
+            [v for k, v in ws.items() if "moving_variance" in k][0])
     probs, _ = unet1d.apply(params, state, np.zeros((1, 64), np.float32))
     assert probs.shape == (1, 64)
 
 
 def test_import_rejects_wrong_order(tmp_path, init_shapes_2d):
     """Swapping two layers must produce a loud error, not silent garbage."""
-    global expected_shapes
-    expected_shapes = init_shapes_2d
     path = str(tmp_path / "bad.hdf5")
-    _write_keras_h5(path, unet2d.layer_order(4))
+    _write_keras_h5(path, unet2d.layer_order(4), init_shapes_2d)
     with h5py.File(path, "a") as fp:
         names = list(fp["model_weights"].attrs["layer_names"])
         # Swap the first conv and first bn.
@@ -230,10 +239,8 @@ def test_predict_directly_from_keras_hdf5(tmp_path):
 def test_import_rejects_wrong_kernel_size(tmp_path, init_shapes_2d):
     """A variant net with the same filter schedule but 5x5 convs must be
     rejected (silent wrong numerics would defeat score-parity validation)."""
-    global expected_shapes
-    expected_shapes = init_shapes_2d
     path = str(tmp_path / "k5.hdf5")
-    _write_keras_h5(path, unet2d.layer_order(4))
+    _write_keras_h5(path, unet2d.layer_order(4), init_shapes_2d)
     with h5py.File(path, "a") as fp:
         g = fp["model_weights/conv2d_1"]
         wn = [n.decode() if isinstance(n, bytes) else n
@@ -250,10 +257,8 @@ def test_import_rejects_wrong_kernel_size(tmp_path, init_shapes_2d):
 def test_import_rejects_truncated_checkpoint(tmp_path, init_shapes_2d):
     """Fewer weight-bearing layers than the table must raise a diagnostic
     ValueError, not a bare StopIteration."""
-    global expected_shapes
-    expected_shapes = init_shapes_2d
     path = str(tmp_path / "short.hdf5")
-    _write_keras_h5(path, unet2d.layer_order(4))
+    _write_keras_h5(path, unet2d.layer_order(4), init_shapes_2d)
     with h5py.File(path, "a") as fp:
         names = list(fp["model_weights"].attrs["layer_names"])
         fp["model_weights"].attrs["layer_names"] = np.array(names[:-4])

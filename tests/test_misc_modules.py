@@ -32,12 +32,19 @@ def test_download_model_idempotent(tmp_path):
 def test_enable_compile_cache_sets_config(tmp_path):
     from deepcalcium_tpu.utils.benchtools import enable_compile_cache
 
-    cache = enable_compile_cache()
-    assert os.path.isdir(cache)
-    assert jax.config.jax_compilation_cache_dir == cache
-    # From a checkout the cache anchors at the repo root (pyproject marker).
-    assert os.path.exists(os.path.join(os.path.dirname(cache),
-                                       "pyproject.toml"))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cache = enable_compile_cache()
+        assert os.path.isdir(cache)
+        assert jax.config.jax_compilation_cache_dir == cache
+        # From a checkout the cache anchors at the repo root (pyproject
+        # marker).
+        assert os.path.exists(os.path.join(os.path.dirname(cache),
+                                           "pyproject.toml"))
+    finally:
+        # Global JAX config: restore so later tests don't silently serve
+        # executables from the persistent on-disk cache.
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_slope_train_step_time_smoke():

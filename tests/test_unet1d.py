@@ -40,7 +40,10 @@ def test_margin_head_dilates_positives(tiny1d):
     x = np.random.default_rng(1).standard_normal((2, 128)).astype(np.float32)
     p0, _ = unet1d.apply(params, state, x, margin=0)
     p8, _ = unet1d.apply(params, state, x, margin=8)
-    assert float(np.asarray(p8).mean()) >= float(np.asarray(p0).mean()) - 1e-6
+    # STRICTLY greater: a tolerance-padded >= passes even if margin becomes
+    # a silent no-op (p8 == p0), which is the regression this test guards.
+    assert float(np.asarray(p8).mean()) > float(np.asarray(p0).mean())
+    assert not np.array_equal(np.asarray(p8), np.asarray(p0))
 
 
 def test_maxpool_labels_oracle():
