@@ -1,0 +1,44 @@
+"""Block until the VM + tunnel are in a healthy measurement window.
+
+Healthy = host numpy >= HOST_MIN MB/s AND tunnel link >= LINK_MIN MB/s,
+both read from a probe subprocess run under a hard `timeout` (the tunnel
+can hang `jax.devices()` forever — a 90 s+ throttle or full outage;
+CLAUDE.md timing gotchas). Exits 0 when healthy, 1 only if MAX_HOURS
+elapse without one healthy window.
+"""
+import json
+import subprocess
+import sys
+import time
+
+HOST_MIN = 150.0   # healthy host numpy is ~400 MB/s; throttled is 4-44
+LINK_MIN = 100.0   # healthy tunnel is ~250-1000 MB/s; throttled 3-12
+PROBE_TIMEOUT = 240  # covers the ~40 s first-dispatch load with margin
+SLEEP = 180
+MAX_HOURS = 10
+
+here = "/root/repo/.round3_logs"
+t_start = time.time()
+attempt = 0
+while time.time() - t_start < MAX_HOURS * 3600:
+    attempt += 1
+    try:
+        out = subprocess.run(
+            ["timeout", str(PROBE_TIMEOUT), sys.executable,
+             f"{here}/probe_once.py"],
+            capture_output=True, text=True, cwd="/root/repo")
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        res = json.loads(line) if line.startswith("{") else {}
+    except Exception as e:  # noqa: BLE001 — watchdog must never die
+        res = {"error": repr(e)}
+    host = res.get("host_MBps", 0.0)
+    link = res.get("link_MBps", 0.0)
+    healthy = host >= HOST_MIN and link >= LINK_MIN
+    print(f"[wait_healthy] attempt {attempt}: host={host} MB/s "
+          f"link={link} MB/s -> {'HEALTHY' if healthy else 'throttled'}",
+          flush=True)
+    if healthy:
+        sys.exit(0)
+    time.sleep(SLEEP)
+print("[wait_healthy] gave up after MAX_HOURS", flush=True)
+sys.exit(1)
