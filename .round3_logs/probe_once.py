@@ -28,4 +28,17 @@ yb = jax.device_put(big, d)
 float(jax.numpy.sum(yb))
 res["link_MBps"] = round(64 / (time.time() - t0), 1)
 
+# Warm dispatch roundtrip: the quantity the slope-method benchmarks
+# actually depend on. 2026-08-18 showed a NEW tunnel state — link
+# plateaued at 30-40 MB/s for hours while dispatch stayed a normal
+# ~28 ms and device compute ran fine; bulk bandwidth alone must not
+# block device-compute measurements.
+f = jax.jit(lambda v: v + 1)
+zs = jax.device_put(np.float32(1.0), d)
+float(f(zs))  # second warm (first-run remote load already paid above)
+t0 = time.time()
+for _ in range(3):
+    float(f(zs))
+res["dispatch_ms"] = round((time.time() - t0) / 3 * 1e3, 1)
+
 print(json.dumps(res), flush=True)
