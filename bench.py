@@ -201,6 +201,26 @@ def main():
     train_flops = 3 * tb * unet2d.forward_flops(twin, twin, nfb=32)
     train_tflops = train_flops / dt_train / 1e12
 
+    # The supported perf preset (fit(preset='perf') / dc-tpu train
+    # --preset perf): rbg dropout PRNG. Its second lever, K=4 scan
+    # dispatch, changes WALL time only — the slope method already
+    # measures pure device time, so the device-step delta here is the
+    # PRNG lever alone (VERDICT r3 #2: report preset next to parity).
+    dt_train_perf = slope_train_step_time(apply_tr, tb, twin,
+                                          rng_impl="rbg")
+    train_perf_tflops = train_flops / dt_train_perf / 1e12
+
+    # 1-D (UNet1D spike) training at the reference recipe: batch 20
+    # windows of 4096 samples, wbce(pos=2), margin 4, bf16, full metrics
+    # (reference hot loop: unet_1d_segmentation.py:300-302).
+    from deepcalcium_tpu.models import unet1d
+    from deepcalcium_tpu.utils.benchtools import slope_train1d_step_time
+
+    t1b, t1w = 20, 4096
+    dt_train1d = slope_train1d_step_time(t1b, t1w)
+    train1d_flops = 3 * t1b * unet1d.forward_flops(t1w, nfb=32)
+    train1d_tflops = train1d_flops / dt_train1d / 1e12
+
     fps = t / dt
     flops = 8 * unet2d.forward_flops(512, 512, nfb=32)  # 8 TTA views
     tflops = flops / dt / 1e12
@@ -235,6 +255,17 @@ def main():
         "train_flops_per_step": train_flops,
         "train_tflops_per_sec": round(train_tflops, 1),
         "train_mfu": round(train_tflops / PEAK_TFLOPS, 4),
+        # The supported perf preset (rbg PRNG device lever; K-scan is a
+        # wall-clock lever the slope method cancels by construction).
+        "train_perf_step_ms": round(dt_train_perf * 1e3, 2),
+        "train_perf_mfu": round(train_perf_tflops / PEAK_TFLOPS, 4),
+        # 1-D spike training (UNet1D, reference recipe shape).
+        "train1d_step_ms": round(dt_train1d * 1e3, 2),
+        "train1d_windows_per_sec": round(t1b / dt_train1d, 1),
+        "train1d_samples_per_sec": round(t1b * t1w / dt_train1d, 1),
+        "train1d_flops_per_step": train1d_flops,
+        "train1d_tflops_per_sec": round(train1d_tflops, 1),
+        "train1d_mfu": round(train1d_tflops / PEAK_TFLOPS, 4),
     }))
 
 

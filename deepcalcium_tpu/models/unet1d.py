@@ -161,3 +161,39 @@ def infer(params, state, x, margin=4, compute_dtype=None, precision=None):
 
 def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def forward_flops(t: int, nfb: int = _F) -> int:
+    """Analytic FLOPs (2·MACs) of ONE forward pass on one length-``t``
+    trace. Counts the conv matmuls only — BN, ReLU, pooling, upsampling,
+    softmax and the margin max-pool are bandwidth-bound elementwise ops.
+    Mirrors :func:`apply`; used by bench.py for 1-D train TFLOP/s + MFU
+    accounting (counterpart of ``unet2d.forward_flops``).
+    """
+    assert t % 16 == 0, t
+    f = nfb
+    fl = 0
+
+    def conv(tt, k, cin, cout):
+        nonlocal fl
+        fl += 2 * k * cin * cout * tt
+
+    # Encoder + bottleneck: conv pairs with the filter doubling, T halving.
+    tt = t
+    enc = [(1, f), (f, 2 * f), (2 * f, 4 * f), (4 * f, 8 * f),
+           (8 * f, 16 * f)]
+    for i, (cin, cout) in enumerate(enc):
+        conv(tt, 5, cin, cout)
+        conv(tt, 5, cout, cout)
+        if i < len(enc) - 1:
+            tt //= 2
+    # Decoder: weight-free UpSampling1D keeps the up branch's channels, so
+    # dec*a consumes (cup + cout) concatenated channels (see _CONCAT_CIN).
+    cup = 16 * f
+    for cout in (8 * f, 4 * f, 2 * f, f):
+        tt *= 2
+        conv(tt, 5, cup + cout, cout)
+        conv(tt, 5, cout, cout)
+        cup = cout
+    conv(t, 1, f, 2)  # head
+    return fl

@@ -68,18 +68,20 @@ def summarize_mask(dspath: str) -> np.ndarray:
 
 
 def summarize_mask_stencil(dspath: str) -> np.ndarray:
-    """Mask summary via the vectorized parallel-stencil variant
-    (:func:`~deepcalcium_tpu.ops.mask_summary.mask_summary_stencil`) — the
-    on-device alternative to :func:`summarize_mask` for large mask stacks,
-    wired through the ``mask_summary_func`` injection point:
+    """Mask summary via the vectorized parallel-stencil APPROXIMATION
+    (:func:`~deepcalcium_tpu.ops.mask_summary.mask_summary_stencil`) —
+    a tested alternative implementation, NOT a production path (status
+    settled round 4: the exact walk runs once per dataset on the host,
+    nowhere near a hot loop, so this variant earns no default caller).
+    Opt in through the injection point if jit-able target generation is
+    worth the documented divergence:
 
         UNet2DSummary(mask_summary_func=summarize_mask_stencil).fit(...)
 
-    Two jitted stencil passes over an (H, W) id map instead of the exact
-    walk's per-pixel Python loop. Targets may differ from the exact walk by
-    a few OVER-deleted pixels on chains of touching neurons (never added
-    pixels — tests/test_mask_summary.py bounds the divergence); keep the
-    exact default wherever bit-parity with the reference targets matters
+    Targets may differ from the exact walk by a few OVER-deleted pixels
+    on chains of touching neurons (never added pixels —
+    tests/test_mask_summary.py bounds the divergence); the exact default
+    is required wherever bit-parity with the reference targets matters
     (scoring, golden comparisons).
     """
     with h5py.File(dspath, "r") as fp:
@@ -171,7 +173,7 @@ class UNet2DSummary:
             mesh=None, adaptive_sampling=False, nb_max_augment=15,
             epoch_callbacks=(), profile_dir=None, ema_decay=None,
             lr_schedule="plateau", steps_per_dispatch=1, fast_train="auto",
-            weight_decay=0.0, prng_impl="threefry2x32"):
+            weight_decay=0.0, prng_impl="threefry2x32", preset=None):
         """Train; returns (history dict, best checkpoint path).
 
         Signature mirrors the reference ``fit`` (``unet_2d_summary.py:
@@ -221,6 +223,18 @@ class UNet2DSummary:
         through the counter-based generator, docs/VALIDATION.md). The two
         draw different random sequences; seeds are not comparable across
         impls.
+
+        ``preset``: one-flag recipe bundles (the reference's ergonomics
+        were one command — ``/root/reference/README.md:23``):
+        ``None``/``"parity"`` = the Keras-faithful defaults above;
+        ``"perf"`` = the measured throughput configuration
+        (``prng_impl='rbg'`` + ``steps_per_dispatch=4`` — the two
+        score-equivalent levers from docs/VALIDATION.md's round-3 sweep,
+        ~16% vs 13.6% train MFU at the reference recipe shape). The
+        preset OVERRIDES ``prng_impl``/``steps_per_dispatch`` and logs
+        the deviation; for still-higher MFU see VALIDATION's batch/window
+        guidance (batch 128, or 256² windows, are recipe changes and stay
+        explicit).
         """
         logger = logging.getLogger(funcname())
         # ValueError, not assert: user-facing knob validation must survive
@@ -233,6 +247,21 @@ class UNet2DSummary:
                              f"must lie in (0, 1)")
         if proceed and not model_path:
             raise ValueError("proceed=True requires model_path")
+        if preset not in (None, "parity", "perf"):
+            raise ValueError(f"preset={preset!r}: expected None, 'parity' "
+                             f"or 'perf'")
+        if preset == "perf":
+            prng_impl = "rbg"
+            steps_per_dispatch = next(
+                k for k in (4, 2, 1) if nb_steps_trn % k == 0)
+            logger.info(
+                "preset='perf': prng_impl='rbg' (TPU-vectorized dropout "
+                "stream — score-equivalent but a DIFFERENT random sequence "
+                "than the Keras-faithful threefry default; seeds are not "
+                "comparable), steps_per_dispatch=%d (K-step lax.scan "
+                "dispatch). Measured ~16%% vs 13.6%% train MFU at the "
+                "reference recipe (docs/VALIDATION.md).",
+                steps_per_dispatch)
         kdisp = int(steps_per_dispatch)
         # ValueError, not assert (must survive python -O), and validated
         # FIRST: a knob typo must not cost the minutes of disk-bound

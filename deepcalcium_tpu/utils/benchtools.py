@@ -53,10 +53,39 @@ def enable_compile_cache(min_compile_secs: float = 1.0) -> str:
     return cache
 
 
+def _slope_scan_steps(step, params, state, opt_state, xs, ys, rng_impl,
+                      k, kmin, reps):
+    """Shared core: per-step device seconds via K-vs-kmin scan slope."""
+
+    def scan_steps(p, s, o, key, xs_k, ys_k):
+        def body(carry, xy):
+            p, s, o, key = carry
+            key, sub = jax.random.split(key)
+            p, s, o, logs = step(p, s, o, xy[0], xy[1], sub)
+            return (p, s, o, key), logs["loss"]
+
+        (_, _, _, _), losses = jax.lax.scan(body, (p, s, o, key),
+                                            (xs_k, ys_k))
+        return losses
+
+    fn = jax.jit(scan_steps)
+    key0 = jax.random.key(7, impl=rng_impl)
+    times = {}
+    for kk in (kmin, k):
+        xk, yk = xs[:kk], ys[:kk]
+        for _ in range(2):  # compile + first-run executable load
+            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
+        tic = time.perf_counter()
+        for _ in range(reps):
+            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
+        times[kk] = (time.perf_counter() - tic) / reps
+    return (times[k] - times[kmin]) / (k - kmin)
+
+
 def slope_train_step_time(apply_fn, batch, win, *, k=12, kmin=2, reps=3,
                           nfb=32, rng_impl="threefry2x32", lr=2e-3,
                           loss="binary_crossentropy"):
-    """Measured device seconds per training step for one config.
+    """Measured device seconds per 2-D training step for one config.
 
     ``apply_fn``: a train-signature forward (e.g. ``unet2d.apply`` or
     ``unet2d_fast.apply_fast_w_train``, usually with ``compute_dtype``
@@ -82,27 +111,41 @@ def slope_train_step_time(apply_fn, batch, win, *, k=12, kmin=2, reps=3,
     xs = jnp.asarray(rng_np.standard_normal((k, batch, win, win)),
                      jnp.float32)
     ys = jnp.asarray(rng_np.random((k, batch, win, win)) < 0.1, jnp.float32)
+    return _slope_scan_steps(step, params, state, opt_state, xs, ys,
+                             rng_impl, k, kmin, reps)
 
-    def scan_steps(p, s, o, key, xs_k, ys_k):
-        def body(carry, xy):
-            p, s, o, key = carry
-            key, sub = jax.random.split(key)
-            p, s, o, logs = step(p, s, o, xy[0], xy[1], sub)
-            return (p, s, o, key), logs["loss"]
 
-        (_, _, _, _), losses = jax.lax.scan(body, (p, s, o, key),
-                                            (xs_k, ys_k))
-        return losses
+def slope_train1d_step_time(batch=20, wlen=4096, *, k=12, kmin=2, reps=3,
+                            nfb=32, rng_impl="threefry2x32", lr=2e-3,
+                            margin=4):
+    """Measured device seconds per 1-D (UNet1D spike) training step at the
+    reference recipe: batch windows of ``wlen`` samples, wbce(pos=2),
+    margin max-pool head, bf16, full SPIKE_METRICS — the same graph
+    ``UNet1DSegmentation.fit`` dispatches per step (counterpart of
+    ``slope_train_step_time`` for bench.py's ``train1d_*`` fields)."""
+    import functools
 
-    fn = jax.jit(scan_steps)
-    key0 = jax.random.key(7, impl=rng_impl)
-    times = {}
-    for kk in (kmin, k):
-        xk, yk = xs[:kk], ys[:kk]
-        for _ in range(2):  # compile + first-run executable load
-            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
-        tic = time.perf_counter()
-        for _ in range(reps):
-            float(jnp.sum(fn(params, state, opt_state, key0, xk, yk)))
-        times[kk] = (time.perf_counter() - tic) / reps
-    return (times[k] - times[kmin]) / (k - kmin)
+    from deepcalcium_tpu.models import unet1d
+    from deepcalcium_tpu.ops import losses as L
+    from deepcalcium_tpu.train import trainer as T
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params, state = unet1d.init(jax.random.PRNGKey(0), nfb=nfb)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    state = jax.device_put(state, dev)
+    optimizer = T.make_optimizer(lr)
+    opt_state = jax.device_put(optimizer.init(jax.device_get(params)), dev)
+    apply_fn = functools.partial(unet1d.apply, margin=margin,
+                                 compute_dtype=jnp.bfloat16)
+    loss_fn = functools.partial(L.weighted_binary_crossentropy,
+                                weightpos=2.0)
+    step = T.make_train_step(apply_fn, loss_fn, optimizer,
+                             metric_fns=dict(L.SPIKE_METRICS))
+
+    rng_np = np.random.default_rng(0)
+    xs = jnp.asarray(rng_np.standard_normal((k, batch, wlen)), jnp.float32)
+    ys = jnp.asarray(rng_np.random((k, batch, wlen)) < 0.01, jnp.float32)
+    return _slope_scan_steps(step, params, state, opt_state, xs, ys,
+                             rng_impl, k, kmin, reps)

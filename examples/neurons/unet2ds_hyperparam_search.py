@@ -120,6 +120,18 @@ def main():
                     help="must be >= the summary image side (512 covers real\n                    Neurofinder; fixture sweeps pass their fixture size)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=865)
+    ap.add_argument("--resume", action="store_true",
+                    help="keep --out's existing rows, replay (and skip) "
+                         "their RNG draws, and treat --trials as the TOTAL "
+                         "row target — lets a health-gated queue accumulate "
+                         "a large sweep across restarts (same --seed "
+                         "required for the config stream to continue, not "
+                         "repeat)")
+    ap.add_argument("--rerun-top", type=int, default=0,
+                    help="instead of sampling: re-train the top N rows of "
+                         "--out at --epochs/--steps and write "
+                         "<out>_topN_eE.csv (the longer-budget check of "
+                         "the sweep's conclusions)")
     args = ap.parse_args()
 
     # Fail fast: fit asserts this per trial, and the per-trial exception
@@ -140,9 +152,7 @@ def main():
     out_csv = args.out or os.path.join(
         checkpoints_dir(), f"hyperparam_search_{int(time.time())}.csv")
 
-    rows = []
-    for trial in range(args.trials):
-        cfg = sample(rng)
+    def run_cfg(cfg, trial, epochs, steps):
         cpdir = os.path.join(checkpoints_dir(),
                              f"search_{int(time.time())}_{trial}")
         model = UNet2DSummary(
@@ -159,7 +169,7 @@ def main():
                 paths, shape_trn=(cfg["window"], cfg["window"]),
                 shape_val=(args.val_shape, args.val_shape),
                 batch_size_trn=cfg["batch"],
-                nb_steps_trn=args.steps, nb_epochs=args.epochs,
+                nb_steps_trn=steps, nb_epochs=epochs,
                 learning_rate=cfg["learning_rate"], loss=cfg["loss"],
                 weight_decay=cfg["weight_decay"],
                 steps_per_dispatch=args.steps_per_dispatch,
@@ -168,17 +178,73 @@ def main():
         except Exception as e:  # a diverging config must not kill the sweep
             logging.warning("trial %d failed: %s", trial, e)
             score = float("nan")
-        row = {**cfg, "trial": trial, "val_nf_f1_mean": score,
-               "seconds": round(time.time() - t0, 1)}
+        return {**cfg, "trial": trial, "val_nf_f1_mean": score,
+                "seconds": round(time.time() - t0, 1)}
+
+    def coerce(row):
+        """CSV round-trip: restore a sampled config's native types."""
+        cfg = {}
+        for k, vals in SPACE.items():
+            cfg[k] = type(vals[0])(row[k]) if not isinstance(vals[0], str) \
+                else row[k]
+        return cfg
+
+    if args.rerun_top:
+        if not args.out:
+            ap.error("--rerun-top requires --out (the CSV to rank)")
+        with open(out_csv) as fp:
+            prior = list(csv.DictReader(fp))
+        ok = [r for r in prior
+              if float(r["val_nf_f1_mean"]) == float(r["val_nf_f1_mean"])]
+        top = sorted(ok, key=lambda r: -float(r["val_nf_f1_mean"]))
+        top = top[:args.rerun_top]
+        out2 = out_csv[:-4] + f"_top{args.rerun_top}_e{args.epochs}.csv"
+        done = []
+        if os.path.exists(out2):  # restart-safe: skip re-run trials
+            with open(out2) as fp:
+                done = list(csv.DictReader(fp))
+        rows = list(done)
+        done_trials = {int(r["trial"]) for r in done}
+        for r in top:
+            if int(r["trial"]) in done_trials:
+                continue
+            row = run_cfg(coerce(r), int(r["trial"]), args.epochs,
+                          args.steps)
+            rows.append(row)
+            with open(out2, "w", newline="") as fp:
+                w = csv.DictWriter(fp, fieldnames=list(rows[0].keys()))
+                w.writeheader()
+                w.writerows(rows)
+            logging.info("rerun trial %s -> %s", r["trial"],
+                         row["val_nf_f1_mean"])
+        print("results:", out2)
+        return
+
+    rows = []
+    start = 0
+    if args.resume and os.path.exists(out_csv):
+        with open(out_csv) as fp:
+            rows = list(csv.DictReader(fp))
+        start = len(rows)
+        for _ in range(start):  # replay consumed draws -> stream continues
+            sample(rng)
+        logging.info("resuming at trial %d (target %d)", start, args.trials)
+
+    for trial in range(start, args.trials):
+        cfg = sample(rng)
+        row = run_cfg(cfg, trial, args.epochs, args.steps)
         rows.append(row)
         with open(out_csv, "w", newline="") as fp:
             w = csv.DictWriter(fp, fieldnames=list(rows[0].keys()))
             w.writeheader()
             w.writerows(rows)
-        logging.info("trial %d: %s -> %.4f", trial, cfg, score)
+        logging.info("trial %d: %s -> %s", trial, cfg,
+                     row["val_nf_f1_mean"])
 
-    best = max((r for r in rows if r["val_nf_f1_mean"] == r["val_nf_f1_mean"]),
-               key=lambda r: r["val_nf_f1_mean"], default=None)
+    # Resumed rows arrive as strings — compare numerically either way.
+    scored = [(float(r["val_nf_f1_mean"]), r) for r in rows]
+    best = max((sr for sr in scored if sr[0] == sr[0]),
+               key=lambda sr: sr[0], default=(None, None))[1]
     print("best:", best)
     print("results:", out_csv)
 

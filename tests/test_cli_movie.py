@@ -87,3 +87,26 @@ def test_segment_movie_auto_dispatch_resolution():
     assert _resolve_apply(None, params_u) is _UPSAMPLING_APPLY
     marker = object()
     assert _resolve_apply(marker, params_t) is marker
+
+
+def test_cli_parity_golden_offline(fixture_env, capsys):
+    """The pre-staged golden-parity runner (VERDICT r3 #4): the full glue
+    (load model -> predict -> score -> diff vs expected -> exit code) must
+    run end-to-end OFFLINE via --paths/-m, PASS inside a wide tolerance,
+    and exit 1 when the expected scores can't match."""
+    from deepcalcium_tpu.cli import main
+
+    ds, ckpt, tmp_path = fixture_env
+    # Wide tolerance: any score triple passes -> exercises the whole glue.
+    main(["parity-golden", "--paths", ds, "-m", ckpt, "--window", "48",
+          "--tta", "off", "--tol", "1.0"])
+    out = capsys.readouterr().out
+    assert "parity-golden: PASS" in out and "[no-TTA] prec" in out
+
+    # Impossible expectation -> machine-readable failure, exit code 1.
+    with pytest.raises(SystemExit) as exc:
+        main(["parity-golden", "--paths", ds, "-m", ckpt, "--window", "48",
+              "--tta", "off", "--tol", "0.000001",
+              "--expect-no-tta", "9", "9", "9"])
+    assert exc.value.code == 1
+    assert "parity-golden: FAIL" in capsys.readouterr().out

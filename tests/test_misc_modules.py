@@ -61,3 +61,13 @@ def test_slope_train_step_time_smoke():
     fn = functools.partial(unet2d.apply, compute_dtype=jnp.float32)
     dt = slope_train_step_time(fn, 2, 32, k=3, kmin=1, reps=1, nfb=4)
     assert np.isfinite(dt)
+
+
+def test_slope_train1d_step_time_smoke():
+    """The 1-D counterpart (bench.py's train1d_* fields) runs the real
+    UNet1D train-step graph — wbce(pos=2), margin head, SPIKE_METRICS —
+    and returns a finite per-step time on tiny shapes."""
+    from deepcalcium_tpu.utils.benchtools import slope_train1d_step_time
+
+    dt = slope_train1d_step_time(2, 64, k=3, kmin=1, reps=1, nfb=4)
+    assert np.isfinite(dt)

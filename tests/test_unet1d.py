@@ -207,3 +207,27 @@ def test_glm_ragged_datasets_and_guards(tmp_path):
         model.fit([one])
     with pytest.raises(ValueError, match="nb_epochs"):
         model.fit([p1], nb_epochs=0)
+
+
+def test_forward_flops_matches_param_shapes():
+    """Analytic FLOPs (bench.py's 1-D MFU accounting) recomputed from the
+    ACTUAL init param shapes x each layer's temporal length — an
+    independent census of the fan-ins, including the UpSampling-keeps-
+    channels concat quirk (_CONCAT_CIN)."""
+    t = 256
+    params, _ = unet1d.init(jax.random.PRNGKey(0), nfb=32)
+    level_t = {"enc0": t, "dec0": t, "head": t,
+               "enc1": t // 2, "dec1": t // 2,
+               "enc2": t // 4, "dec2": t // 4,
+               "enc3": t // 8, "dec3": t // 8,
+               "mid": t // 16}
+    expected = 0
+    for name, p in params.items():
+        if not name.endswith("_conv"):
+            continue
+        k, cin, cout = p["kernel"].shape
+        prefix = name[:-5].rstrip("ab")
+        expected += 2 * k * cin * cout * level_t[prefix]
+    assert unet1d.forward_flops(t) == expected
+    # Fully convolutional: FLOPs are linear in T.
+    assert unet1d.forward_flops(2 * t) == 2 * expected

@@ -117,6 +117,14 @@ def test_cli_train_perf_knobs_parse():
                        "2", "--weight-decay", "1e-5", "--prng-impl", "rbg"])
     assert (a.steps_per_dispatch, a.weight_decay, a.prng_impl) == (
         2, 1e-5, "rbg")
+    # Round-4 preset bundle: default None (parity behavior), 'perf'
+    # accepted, anything else a clean usage error.
+    a = ap.parse_args(["train", "all_train"])
+    assert a.preset is None
+    a = ap.parse_args(["train", "x", "--preset", "perf"])
+    assert a.preset == "perf"
+    with pytest.raises(SystemExit):
+        ap.parse_args(["train", "x", "--preset", "fast"])
 
 
 def test_cli_dtype_and_positional_defaults():
