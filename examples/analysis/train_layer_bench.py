@@ -361,17 +361,20 @@ def main():
         b_ = xs[0]
 
         if name == "up0_w2_to_w4":
+            # Production lowering (round 4): dense block-diagonal
+            # lhs_dilation=(2,1) conv — see models/unet2d_fast.up_w4_kernel.
+            from deepcalcium_tpu.models.unet2d_fast import (_up_dilated,
+                                                            up_w4_kernel)
+
             def up_f(hh, kk):
-                bb, i, j, _ = hh.shape
-                x5 = hh.reshape(bb, i, j, 2, cin)
-                y = jnp.einsum("bijqc,pLoc->bipjqLo", x5, kk)
-                return y.reshape(bb, 2 * i, j, 4 * cout)
+                return _up_dilated(hh, up_w4_kernel(kk))
             out_elems = b_ * 2 * xs[1] * xs[2] * 4 * cout
         elif name == "up1_to_w2":
+            from deepcalcium_tpu.models.unet2d_fast import (_up_dilated,
+                                                            up_w2_kernel)
+
             def up_f(hh, kk):
-                bb, i, j, _ = hh.shape
-                y = jnp.einsum("bijc,pqoc->bipjqo", hh, kk)
-                return y.reshape(bb, 2 * i, j, 2 * cout)
+                return _up_dilated(hh, up_w2_kernel(kk))
             out_elems = b_ * 2 * xs[1] * xs[2] * 2 * cout
         else:
             def up_f(hh, kk):
@@ -410,9 +413,11 @@ def main():
         bytes_m = (np.prod(xs) + out_elems) * 2
         roof = max(fl / (PEAK_TFLOPS * lane(cin) * lane(cout)),
                    bytes_m / HBM_BPS) * 3
+        lowering = ("dilated-conv" if name in ("up0_w2_to_w4", "up1_to_w2")
+                    else "einsum")
         emit(dict(name=name, kind="tconv", count=count,
                   fwd=t_f, gx=t_gx, gk=t_gk, flops=fl, roof=roof,
-                  note="einsum k=2 s=2 tconv"))
+                  note=f"{lowering} k=2 s=2 tconv"))
         print(f"{name:34s} x{count}  fwd {t_f*1e3:7.3f} ms  "
               f"gx {t_gx*1e3:7.3f}  gk {t_gk*1e3:7.3f}", flush=True)
 

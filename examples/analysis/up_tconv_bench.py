@@ -90,6 +90,49 @@ def up0_dilated(hh, kt):
         dimension_numbers=_DN)
 
 
+def up0_blockdiag(hh, kt):
+    """Same as up0_dilated but the 2-group channel mixing written as one
+    DENSE block-diagonal kernel (full 128x128 MXU tiles; the off-diagonal
+    zeros double the FLOPs of a tiny op in exchange for the dense-conv
+    schedule XLA gives up1)."""
+    kb = up1_kernel(kt)                   # (2, 1, 64, 64) per group
+    p, _, c, o = kb.shape
+    z = jnp.zeros((p, 1, c, o), kb.dtype)
+    k2 = jnp.concatenate([
+        jnp.concatenate([kb, z], axis=-1),
+        jnp.concatenate([z, kb], axis=-1)], axis=2)   # (2, 1, 128, 128)
+    return jax.lax.conv_general_dilated(
+        hh, k2, (1, 1), ((1, 1), (0, 0)),
+        lhs_dilation=(2, 1), dimension_numbers=_DN)
+
+
+def up_std_einsum(hh, kt):
+    b, i, j, _ = hh.shape
+    o = kt.shape[2]
+    y = jnp.einsum("bijc,pqoc->bipjqo", hh, kt)
+    return y.reshape(b, 2 * i, 2 * j, o)
+
+
+def up_std_einsum_staged(hh, kt):
+    """The production eval staged form (W2 intermediate + barrier)."""
+    b, i, j, _ = hh.shape
+    o = kt.shape[2]
+    y = jnp.einsum("bijc,pqoc->bipjqo", hh, kt)
+    y = y.reshape(b, 2 * i, j, 2 * o)
+    y = jax.lax.optimization_barrier(y)
+    return y.reshape(b, 2 * i, 2 * j, o)
+
+
+def up_std_dilated(hh, kt):
+    """Standard-layout k=2 s=2 tconv as one lhs_dilation=(2,2) conv:
+    kernel flipped on BOTH spatial axes, HWIO (2, 2, c, o)."""
+    k = jnp.flip(jnp.flip(kt, axis=0), axis=1)     # (1-p, 1-q, o, c)
+    k = k.transpose(0, 1, 3, 2)                    # HWIO
+    return jax.lax.conv_general_dilated(
+        hh, k, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=_DN)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=20)
@@ -103,18 +146,33 @@ def main():
     wp = win // 4
     rng = np.random.default_rng(0)
 
+    # On TPU the einsum and dilated-conv lowerings agree BITWISE (f32).
+    # On CPU XLA's default conv precision truncates (CLAUDE.md gotcha), so
+    # the smoke path compares with a truncation-sized tolerance instead.
+    if jax.devices()[0].platform == "cpu":
+        def check(a, bb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=0.02, atol=1e-4)
+    else:
+        def check(a, bb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
     # ---- exactness (f32) ----
     hh1 = jnp.asarray(rng.standard_normal((b, win // 4, win // 4, 128)),
                       jnp.float32)
     kt1 = jnp.asarray(rng.standard_normal((2, 2, 64, 128)), jnp.float32)
-    np.testing.assert_array_equal(np.asarray(up1_einsum(hh1, kt1)),
-                                  np.asarray(up1_dilated(hh1, kt1)))
+    check(up1_einsum(hh1, kt1), up1_dilated(hh1, kt1))
     hh0 = jnp.asarray(rng.standard_normal((b, win // 2, wp, 128)),
                       jnp.float32)
     kt0 = jnp.asarray(rng.standard_normal((2, 2, 32, 64)), jnp.float32)
-    np.testing.assert_array_equal(np.asarray(up0_einsum(hh0, kt0, 64)),
-                                  np.asarray(up0_dilated(hh0, kt0)))
-    print("exactness: einsum == dilated conv (f32, bitwise)")
+    check(up0_einsum(hh0, kt0, 64), up0_dilated(hh0, kt0))
+    check(up0_einsum(hh0, kt0, 64), up0_blockdiag(hh0, kt0))
+    hhs = jnp.asarray(rng.standard_normal((b, win // 8, win // 8, 256)),
+                      jnp.float32)
+    kts = jnp.asarray(rng.standard_normal((2, 2, 128, 256)), jnp.float32)
+    check(up_std_einsum(hhs, kts), up_std_dilated(hhs, kts))
+    print("exactness: einsum == dilated conv == blockdiag == std-dilated "
+          "(f32, bitwise)")
 
     # ---- timing (bf16, fwd + gx + gk like the layer bench) ----
     target_s = args.target_ms * 1e-3
@@ -126,17 +184,26 @@ def main():
 
     cases = [
         ("up1", (b, win // 4, win // 4, 128), (2, 2, 64, 128),
-         lambda h, k: up1_einsum(h, k), up1_dilated),
+         [("einsum", lambda h, k: up1_einsum(h, k)),
+          ("dilated", up1_dilated)]),
         ("up0", (b, win // 2, wp, 128), (2, 2, 32, 64),
-         lambda h, k: up0_einsum(h, k, 64), up0_dilated),
+         [("einsum", lambda h, k: up0_einsum(h, k, 64)),
+          ("dilated", up0_dilated), ("blockdiag", up0_blockdiag)]),
+        # up3: mid 32² grid, 256 -> 128 ch; up2: 64² grid, 128 -> 128 ch
+        ("up3", (b, win // 8, win // 8, 256), (2, 2, 128, 256),
+         [("einsum", up_std_einsum), ("staged", up_std_einsum_staged),
+          ("dilated", up_std_dilated)]),
+        ("up2", (b, win // 4, win // 4, 128), (2, 2, 128, 128),
+         [("einsum", up_std_einsum), ("staged", up_std_einsum_staged),
+          ("dilated", up_std_dilated)]),
     ]
-    for name, xs, ks, f_ein, f_dil in cases:
+    for name, xs, ks, variants in cases:
         x, kt = arr(xs), arr(ks)
-        out_shape = jax.eval_shape(f_ein, x, kt).shape
+        out_shape = jax.eval_shape(variants[0][1], x, kt).shape
         bias_o = arr((out_shape[-1],))
         bias_i = arr((xs[-1],))
         ct = arr(out_shape)
-        for label, f in (("einsum", f_ein), ("dilated", f_dil)):
+        for label, f in variants:
             t_f = measure(LoopTimer(
                 lambda c, kk, _f=f: jax.nn.relu(_f(c, kk) + bias_o),
                 x, (kt,)), target_s, reps=reps)
