@@ -231,3 +231,22 @@ def test_forward_flops_matches_param_shapes():
     assert unet1d.forward_flops(t) == expected
     # Fully convolutional: FLOPs are linear in T.
     assert unet1d.forward_flops(2 * t) == 2 * expected
+
+
+def test_roofline_census_matches_forward_flops():
+    """The analytic 1-D roofline's layer census (examples/analysis/
+    unet1d_roofline.py — the VALIDATION round-4 floor argument) must
+    count exactly the convs of models/unet1d.py: total census FLOPs ==
+    batch * forward_flops(T)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "analysis", "unet1d_roofline.py")
+    spec = importlib.util.spec_from_file_location("unet1d_roofline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for t in (256, 4096):
+        tot = sum(2 * 20 * tt * k * ci * co
+                  for _, tt, ci, co, k in mod.census(20, t, 32))
+        assert tot == 20 * unet1d.forward_flops(t, 32)
