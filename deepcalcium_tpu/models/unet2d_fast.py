@@ -162,6 +162,39 @@ def _up_dilated(hh, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@jax.custom_vjp
+def hpool2(z):
+    """Window-2 stride-2 max-pool along H (axis 1) with a DENSE gradient.
+
+    Forward is bitwise-equal to ``lax.reduce_window(z, -inf, max,
+    (1,2,1,1), (1,2,1,1), "VALID")``. The backward replaces XLA's
+    ``select_and_scatter`` (0.59 ms at the L0 shape, 11x its HBM floor
+    — docs/train_glue_r4.csv) with first-match routing computed
+    densely: for a 2-element window, select_and_scatter's "first
+    maximal element wins" is exactly ``a >= b`` — identical gradients
+    INCLUDING ties (asserted on all-tied data in train_glue_bench.py).
+    Measured 0.84 -> 0.40 ms fwd+bwd at L0; the strided-slice
+    ``maximum`` forward alone is 2.5x the reduce_window form.
+    """
+    return jnp.maximum(z[:, 0::2], z[:, 1::2])
+
+
+def _hpool2_fwd(z):
+    a = z[:, 0::2]
+    b = z[:, 1::2]
+    return jnp.maximum(a, b), a >= b
+
+
+def _hpool2_bwd(first_wins, g):
+    ga = jnp.where(first_wins, g, jnp.zeros_like(g))
+    gb = jnp.where(first_wins, jnp.zeros_like(g), g)
+    s = jnp.stack([ga, gb], axis=2)  # (B, H/2, 2, ...) -> interleave
+    return (s.reshape(g.shape[0], 2 * g.shape[1], *g.shape[2:]),)
+
+
+hpool2.defvjp(_hpool2_fwd, _hpool2_bwd)
+
+
 def apply_fast(params, state, x, train: bool = False, rng=None,
                compute_dtype=jnp.bfloat16, **_ignored):
     """Inference forward, numerically equivalent to
@@ -462,20 +495,20 @@ def apply_fast_w(params, state, x, train: bool = False, rng=None,
     z = cbr_w("enc0b", z, 4)
     skip0 = z                                        # (B, H, W/4, 128)
 
-    # pool0: W-halves are adjacent (q_lo) channel groups; H by window.
+    # pool0: W-halves are adjacent (q_lo) channel groups; H by the
+    # dense-grad window pool (bitwise == reduce_window — see hpool2).
     m = z.reshape(b, h, wp, 2, 2, nfb).max(axis=4).reshape(b, h, wp, 2 * nfb)
-    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
-                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    hh = hpool2(m)
 
     # ---- level 1, W2-packed ----
     hh = cbr_w("enc1a", hh, 2)
     hh = cbr_w("enc1b", hh, 2)
     skip1 = hh                                       # (B, H/2, W/4, 128)
 
-    # pool1: W half = q group max; H by window. Lands on STANDARD level 2.
+    # pool1: W half = q group max; H by the dense-grad window pool.
+    # Lands on STANDARD level 2.
     m = jnp.maximum(hh[..., :2 * nfb], hh[..., 2 * nfb:])
-    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
-                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    hh = hpool2(m)
 
     # ---- levels 2..4: standard path with folded BN ----
     hh = cbr("enc2b", cbr("enc2a", hh))
@@ -697,15 +730,13 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
     z = cbr_w("enc0b", cbr_w("enc0a", z, 4), 4)
     skip0 = z
     m = z.reshape(b, h, wp, 2, 2, nfb).max(axis=4).reshape(b, h, wp, 2 * nfb)
-    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
-                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    hh = hpool2(m)  # dense-grad H pool: 0.84 -> 0.40 ms fwd+bwd at L0
 
     # ---- level 1, W2 ----
     hh = drop(cbr_w("enc1b", cbr_w("enc1a", hh, 2), 2), drp)
     skip1 = hh
     m = jnp.maximum(hh[..., :2 * nfb], hh[..., 2 * nfb:])
-    hh = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
-                               (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    hh = hpool2(m)
 
     # ---- levels 2..4, standard ----
     hh = drop(cbr("enc2b", cbr("enc2a", hh)), drp * 2)

@@ -169,6 +169,66 @@ def main():
     row("concat_dec3a", concat3, arr((b, win // 8, win // 8, 8 * nfb)),
         "concat + scale (slice bwd)")
 
+    # ---- DENSE-GRAD pool candidates -------------------------------
+    # select_and_scatter (reduce_window max's vjp) costs pool0 0.59 ms
+    # of backward against a 0.05 ms floor. For a window-2/stride-2 max,
+    # first-match routing is exactly `a >= b`: da = g*(a>=b),
+    # db = g*(a<b) — dense elementwise, no scatter, IDENTICAL semantics
+    # (select_and_scatter picks the first maximal element per window).
+
+    @jax.custom_vjp
+    def hpool2_dense(z):
+        a = z[:, 0::2]
+        bb = z[:, 1::2]
+        return jnp.maximum(a, bb)
+
+    def _hp_fwd(z):
+        a = z[:, 0::2]
+        bb = z[:, 1::2]
+        return jnp.maximum(a, bb), (a >= bb)
+
+    def _hp_bwd(win_mask, g):
+        ga = jnp.where(win_mask, g, 0)
+        gb = jnp.where(win_mask, jnp.zeros_like(g), g)
+        # interleave back along H: (b, h2, 2, w, c) -> (b, h, w, c)
+        s = jnp.stack([ga, gb], axis=2)
+        return (s.reshape(g.shape[0], 2 * g.shape[1], *g.shape[2:]),)
+
+    hpool2_dense.defvjp(_hp_fwd, _hp_bwd)
+
+    def pool0_dense(z):
+        m = (z.reshape(b, win, wp, 2, 2, nfb).max(axis=4)
+             .reshape(b, win, wp, 2 * nfb))
+        return hpool2_dense(m)
+
+    row("pool0_dense", pool0_dense, arr((b, win, wp, 4 * nfb)),
+        "group-max + dense-grad H pool (candidate)")
+
+    def pool1_dense(z):
+        m = jnp.maximum(z[..., :2 * nfb], z[..., 2 * nfb:])
+        return hpool2_dense(m)
+
+    row("pool1_dense", pool1_dense, arr((b, win // 2, wp, 4 * nfb)),
+        "half-max + dense-grad H pool (candidate)")
+
+    # Equivalence: fwd bitwise; bwd vs select_and_scatter on data WITH
+    # deliberate ties (first-match routing must agree).
+    z = arr((b, win, wp, 4 * nfb))
+    z = z.at[:, 0::2].set(z[:, 1::2])  # every H window tied
+    for f_ref, f_new in ((pool0, pool0_dense), (pool1, pool1_dense)):
+        zz = z[:, :, :, :] if f_ref is pool0 else z[:, :win // 2]
+        o_ref, vjp_ref = jax.vjp(f_ref, zz)
+        o_new, vjp_new = jax.vjp(f_new, zz)
+        assert bool(jnp.all(o_ref == o_new)), "fwd mismatch"
+        ct = jnp.ones_like(o_ref)
+        g_ref, = vjp_ref(ct)
+        g_new, = vjp_new(ct)
+        assert bool(jnp.all(g_ref == g_new)), (
+            f"bwd tie-routing mismatch: {int(jnp.sum(g_ref != g_new))} "
+            f"elements")
+    print("dense-grad pools: fwd bitwise-equal, bwd equal incl. ties",
+          flush=True)
+
     tot = sum(r[2] for r in rows)
     print(f"\nsum of glue f+bwd: {tot:.3f} ms "
           f"(composite residual brackets: ~3.2 ms bwd-side non-dropout "
