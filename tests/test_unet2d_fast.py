@@ -210,3 +210,28 @@ def test_evaluate_movie_fast_matches_slow(tmp_path, net):
                                           window_shape=(48, 48), fast=False)
     np.testing.assert_allclose(p_fast, p_slow, atol=2e-6, rtol=1e-5)
     np.testing.assert_array_equal(m_fast, m_slow)
+
+
+def test_hpool2_matches_reduce_window_incl_ties():
+    """hpool2's dense gradient must equal select_and_scatter routing —
+    first maximal element per window wins — INCLUDING exact ties."""
+    from deepcalcium_tpu.models.unet2d_fast import hpool2
+
+    def ref(z):
+        return jax.lax.reduce_window(z, -jnp.inf, jax.lax.max,
+                                     (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.standard_normal((2, 16, 8, 4)), jnp.float32)
+    # Force ties in ~half the windows (and runs of equal values).
+    z = z.at[:, 0::4].set(z[:, 1::4])
+    z = z.at[0, 2:6].set(1.5)
+
+    o_ref, vjp_ref = jax.vjp(ref, z)
+    o_new, vjp_new = jax.vjp(hpool2, z)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_new))
+
+    ct = jnp.asarray(rng.standard_normal(o_ref.shape), jnp.float32)
+    g_ref, = vjp_ref(ct)
+    g_new, = vjp_new(ct)
+    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_new))
