@@ -19,6 +19,8 @@ Compute dtype is a parameter: convolutions can run in bfloat16 on the MXU
 while params and BN statistics stay float32.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -165,10 +167,87 @@ def tconv2x2(x, p, dtype=None, precision=None):
 
 
 def maxpool2(x):
-    """MaxPooling2D(2, strides=2) on NHWC."""
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
+    """MaxPooling2D(2, strides=2) on NHWC — dense-grad implementation.
+
+    Forward is bitwise-equal to ``reduce_window(max, (1,2,2,1))``; the
+    backward routes the cotangent to the FIRST maximal element of each
+    2x2 window (row-major window order) computed densely, which is
+    exactly ``select_and_scatter``'s semantics but without the serial
+    scatter (11x its HBM floor at L0 shapes — docs/train_glue_r4.csv,
+    docs/VALIDATION.md round 4). Tie routing pinned by
+    tests/test_unet2d.py::test_maxpool2_dense_grad_matches_reduce_window.
+    (NOT two cascaded 2-element pools — that routes (1,2;2,0)-style tied
+    windows to the column-then-row winner, not the row-major first max.)
+    """
+    a, b, c, d = _quads(x)
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+
+
+def _quads(x):
+    """Row-major 2x2 window elements of NHWC: (0,0),(0,1),(1,0),(1,1)."""
+    return (x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+            x[:, 1::2, 0::2], x[:, 1::2, 1::2])
+
+
+def _maxpool2_fwd(x):
+    a, b, c, d = _quads(x)
+    m = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    # 2-bit index of the FIRST maximal element in row-major order.
+    idx = jnp.where(a == m, 0, jnp.where(b == m, 1,
+                    jnp.where(c == m, 2, 3))).astype(jnp.int8)
+    return m, idx
+
+
+def _maxpool2_bwd(idx, g):
+    z = jnp.zeros_like(g)
+    q = [jnp.where(idx == k, g, z) for k in range(4)]
+    # (B,H',W',C) quads -> (B,H',2,W',2,C) -> (B,2H',2W',C)
+    row0 = jnp.stack([q[0], q[1]], axis=3)
+    row1 = jnp.stack([q[2], q[3]], axis=3)
+    s = jnp.stack([row0, row1], axis=2)
+    bsz, hp, _, wp, _, ch = s.shape
+    return (s.reshape(bsz, 2 * hp, 2 * wp, ch),)
+
+
+maxpool2 = jax.custom_vjp(maxpool2)
+maxpool2.defvjp(_maxpool2_fwd, _maxpool2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pool2_axis(z, axis):
+    """Window-2 stride-2 max along ``axis`` with a dense gradient.
+
+    The 2-element-window specialization of max-pool: first-match routing
+    is just ``a >= b``, so the vjp is an elementwise select + interleave
+    instead of XLA's ``select_and_scatter``. ``axis`` must be static.
+    """
+    a, b = _pool2_halves(z, axis)
+    return jnp.maximum(a, b)
+
+
+def _pool2_halves(z, axis):
+    sl = [slice(None)] * z.ndim
+    sl[axis] = slice(0, None, 2)
+    a = z[tuple(sl)]
+    sl[axis] = slice(1, None, 2)
+    return a, z[tuple(sl)]
+
+
+def _pool2_axis_fwd(z, axis):
+    a, b = _pool2_halves(z, axis)
+    return jnp.maximum(a, b), (a >= b)
+
+
+def _pool2_axis_bwd(axis, first_wins, g):
+    ga = jnp.where(first_wins, g, jnp.zeros_like(g))
+    gb = jnp.where(first_wins, jnp.zeros_like(g), g)
+    s = jnp.stack([ga, gb], axis=axis + 1)
+    shape = list(g.shape)
+    shape[axis] *= 2
+    return (s.reshape(shape),)
+
+
+pool2_axis.defvjp(_pool2_axis_fwd, _pool2_axis_bwd)
 
 
 def maxpool1d(x, window, stride=1, padding="SAME"):

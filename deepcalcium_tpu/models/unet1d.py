@@ -109,8 +109,9 @@ def apply(params, state, x, train: bool = False, rng=None, drp: float = 0.05,
         return B.dropout(h, rate, train, next(rngs) if rngs else None)
 
     def pool(h):
-        return jax.lax.reduce_window(
-            h, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
+        # Dense-grad window-2 max (== reduce_window forward AND backward
+        # incl. tie routing; avoids select_and_scatter — blocks.pool2_axis).
+        return B.pool2_axis(h, 1)
 
     h = x[..., None].astype(dt or x.dtype)
 

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepcalcium_tpu.models import blocks
+
 __all__ = ["apply_fast", "apply_fast_w", "apply_fast_w_train", "fold_bn",
            "s2d_conv3_kernel", "wpack_conv3_kernel"]
 
@@ -162,7 +164,6 @@ def _up_dilated(hh, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@jax.custom_vjp
 def hpool2(z):
     """Window-2 stride-2 max-pool along H (axis 1) with a DENSE gradient.
 
@@ -175,24 +176,9 @@ def hpool2(z):
     INCLUDING ties (asserted on all-tied data in train_glue_bench.py).
     Measured 0.84 -> 0.40 ms fwd+bwd at L0; the strided-slice
     ``maximum`` forward alone is 2.5x the reduce_window form.
+    Implementation shared with the 1-D T-pools: blocks.pool2_axis.
     """
-    return jnp.maximum(z[:, 0::2], z[:, 1::2])
-
-
-def _hpool2_fwd(z):
-    a = z[:, 0::2]
-    b = z[:, 1::2]
-    return jnp.maximum(a, b), a >= b
-
-
-def _hpool2_bwd(first_wins, g):
-    ga = jnp.where(first_wins, g, jnp.zeros_like(g))
-    gb = jnp.where(first_wins, jnp.zeros_like(g), g)
-    s = jnp.stack([ga, gb], axis=2)  # (B, H/2, 2, ...) -> interleave
-    return (s.reshape(g.shape[0], 2 * g.shape[1], *g.shape[2:]),)
-
-
-hpool2.defvjp(_hpool2_fwd, _hpool2_bwd)
+    return blocks.pool2_axis(z, 1)
 
 
 def apply_fast(params, state, x, train: bool = False, rng=None,

@@ -250,3 +250,28 @@ def test_roofline_census_matches_forward_flops():
         tot = sum(2 * 20 * tt * k * ci * co
                   for _, tt, ci, co, k in mod.census(20, t, 32))
         assert tot == 20 * unet1d.forward_flops(t, 32)
+
+
+def test_pool2_axis_matches_reduce_window_1d():
+    """The 1-D T-pool (blocks.pool2_axis) == reduce_window fwd+bwd
+    including tie routing on (B, T, C) activations."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcalcium_tpu.models import blocks as B
+
+    def ref(z):
+        return jax.lax.reduce_window(z, -jnp.inf, jax.lax.max,
+                                     (1, 2, 1), (1, 2, 1), "VALID")
+
+    rng = np.random.default_rng(7)
+    z = jnp.maximum(jnp.asarray(rng.standard_normal((3, 32, 4)),
+                                jnp.float32), 0.0)
+    z = z.at[:, 0::4].set(z[:, 1::4])  # forced exact ties
+
+    o_ref, vjp_ref = jax.vjp(ref, z)
+    o_new, vjp_new = jax.vjp(lambda h: B.pool2_axis(h, 1), z)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_new))
+    ct = jnp.asarray(rng.standard_normal(o_ref.shape), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(vjp_ref(ct)[0]),
+                                  np.asarray(vjp_new(ct)[0]))

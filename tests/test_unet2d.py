@@ -230,3 +230,31 @@ def test_kernel_init_uniform_bounds():
         # A uniform on [-lim, lim] has std lim/sqrt(3).
         np.testing.assert_allclose(k.std(), lim / np.sqrt(3.0),
                                    rtol=0.02, err_msg=scheme)
+
+
+def test_maxpool2_dense_grad_matches_reduce_window():
+    """maxpool2's dense backward must equal select_and_scatter routing
+    (first maximal element per 2x2 window, ROW-MAJOR order) exactly —
+    including tied windows, which ReLU'd activations produce constantly.
+    Includes the (1,2;2,0) case that a cascade of two 2-element pools
+    routes wrongly (column winner instead of the row-major first max)."""
+    import numpy as np
+
+    from deepcalcium_tpu.models import blocks as B
+
+    def ref(z):
+        return jax.lax.reduce_window(z, -jnp.inf, jax.lax.max,
+                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    z = jnp.maximum(z, 0.0)  # realistic: many exact zero ties
+    z = z.at[0, 0, 0, 0].set(1.0).at[0, 0, 1, 0].set(2.0)
+    z = z.at[0, 1, 0, 0].set(2.0).at[0, 1, 1, 0].set(0.0)
+
+    o_ref, vjp_ref = jax.vjp(ref, z)
+    o_new, vjp_new = jax.vjp(B.maxpool2, z)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_new))
+    ct = jnp.asarray(rng.standard_normal(o_ref.shape), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(vjp_ref(ct)[0]),
+                                  np.asarray(vjp_new(ct)[0]))
