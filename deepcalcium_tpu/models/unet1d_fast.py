@@ -108,8 +108,9 @@ def apply_fast_t(params, state, x, train: bool = False, rng=None,
         return jax.nn.relu(ya + yb + jnp.tile(bb, r).astype(dt))
 
     def pool_std(hh):
-        return jax.lax.reduce_window(
-            hh, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
+        # Strided-slice max == reduce_window bitwise; the strided form's
+        # forward measured 2.5x faster at the 2-D L0 shape (blocks.pool2_axis).
+        return B.pool2_axis(hh, 1)
 
     # ---- encoder: level 0 T4-packed, level 1 T2-packed, then standard ----
     z = x.astype(dt).reshape(b, tp, 4)
