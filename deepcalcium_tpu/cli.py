@@ -161,14 +161,16 @@ def cmd_parity_golden(args):
     if args.tta in ("both", "on"):
         passes.append((True, tuple(args.expect_tta or _GOLDEN_TTA)))
 
+    # Ground-truth mask summaries once per dataset (the exact sequential
+    # walk is a minutes-scale host cost at 512x512) — not once per pass.
+    summaries = [model.mask_summary_func(dsp) for dsp in dspaths]
     failures = []
     for aug, expected in passes:
         Mp, names = model.predict(dspaths, model_path,
                                   window_shape=(args.window, args.window),
                                   augmentation=aug)
         mp_ = mr_ = mc_ = 0.0
-        for dsp, mp in zip(dspaths, Mp):
-            m = model.mask_summary_func(dsp)
+        for m, mp in zip(summaries, Mp):
             p, r, _, _, c = nf_mask_metrics(m, np.round(mp))
             mp_ += p / len(dspaths)
             mr_ += r / len(dspaths)

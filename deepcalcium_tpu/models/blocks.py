@@ -219,10 +219,24 @@ def pool2_axis(z, axis):
 
     The 2-element-window specialization of max-pool: first-match routing
     is just ``a >= b``, so the vjp is an elementwise select + interleave
-    instead of XLA's ``select_and_scatter``. ``axis`` must be static.
+    instead of XLA's ``select_and_scatter``. ``axis`` must be static and
+    NON-NEGATIVE: the backward stacks the window pair at ``axis + 1``,
+    which lands in the wrong place for a negative axis while the final
+    reshape still succeeds — a silently scrambled gradient — so negative
+    axes are rejected up front (both here and in the vjp rules, which
+    custom_vjp calls directly under differentiation).
     """
+    _check_pool_axis(z, axis)
     a, b = _pool2_halves(z, axis)
     return jnp.maximum(a, b)
+
+
+def _check_pool_axis(z, axis):
+    if not 0 <= axis < z.ndim:
+        raise ValueError(
+            f"pool2_axis: axis must be a non-negative index in "
+            f"[0, {z.ndim}); got {axis} (negative axes would corrupt "
+            f"the backward interleave)")
 
 
 def _pool2_halves(z, axis):
@@ -234,6 +248,7 @@ def _pool2_halves(z, axis):
 
 
 def _pool2_axis_fwd(z, axis):
+    _check_pool_axis(z, axis)
     a, b = _pool2_halves(z, axis)
     return jnp.maximum(a, b), (a >= b)
 

@@ -456,7 +456,7 @@ def apply_fast_w(params, state, x, train: bool = False, rng=None,
         y = _up_dilated(hh.astype(dt), up_w2_kernel(k).astype(dt))
         return jax.nn.relu(y + tilebias(bias, 2).astype(dt))
 
-    def up_w2_to_w4(name, hh, cin):
+    def up_w2_to_w4(name, hh):
         """k=2 s=2 tconv from W2-packed input into W4-packed output.
         Original column of input (i, j, (q1, c)) is 2j + q1; its two output
         columns are 4j + 2*q1 + L, i.e. W4 group q = 2*q1 + L — block-
@@ -542,7 +542,7 @@ def apply_fast_w(params, state, x, train: bool = False, rng=None,
     hh = cbr_w("dec1b", hh, 2)
 
     # ---- decoder level 0, W4-packed ----
-    zu = up_w2_to_w4("up0", hh, 2 * nfb)             # (B, H, W/4, 128)
+    zu = up_w2_to_w4("up0", hh)                      # (B, H, W/4, 128)
     z = cbr_w_split("dec0a", zu, skip0, 4, nfb)
     z = cbr_w("dec0b", z, 4)
 
@@ -669,7 +669,7 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
         new_state[f"{name}_bn"] = s
         return y
 
-    def _up_pure(p_tconv, p_bn, s_bn, hh, mode, cin):
+    def _up_pure(p_tconv, p_bn, s_bn, hh, mode):
         """k=2 s=2 tconv + BN(momentum .5) + relu; ``mode``: 'std' emits
         the standard layout, 'w2'/'w4' the packed ones (free merges)."""
         kt = p_tconv["kernel"]  # (2, 2, out, in)
@@ -688,12 +688,12 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
         y, s = bn_grouped(y, p_bn, s_bn, 0.5, r)
         return jax.nn.relu(y), s
 
-    up_fn = jax.checkpoint(_up_pure, static_argnums=(4, 5)) if remat \
+    up_fn = jax.checkpoint(_up_pure, static_argnums=(4,)) if remat \
         else _up_pure
 
-    def up(name, hh, mode, cin=0):
+    def up(name, hh, mode):
         y, s = up_fn(params[f"{name}_tconv"], params[f"{name}_bn"],
-                     state[f"{name}_bn"], hh, mode, cin)
+                     state[f"{name}_bn"], hh, mode)
         new_state[f"{name}_bn"] = s
         return y
 
@@ -703,8 +703,8 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
     def up_to_w2(name, hh):
         return up(name, hh, "w2")
 
-    def up_w2_to_w4(name, hh, cin):
-        return up(name, hh, "w4", cin)
+    def up_w2_to_w4(name, hh):
+        return up(name, hh, "w4")
 
     def drop(hh, rate):
         return B.dropout(hh, rate, True, next(rngs))
@@ -743,7 +743,7 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
     hh = cbr_w("dec1b", hh, 2)
 
     # ---- decoder level 0, W4 ----
-    zu = drop(up_w2_to_w4("up0", hh, 2 * nfb), drp)
+    zu = drop(up_w2_to_w4("up0", hh), drp)
     z = cbr_w_split("dec0a", zu, skip0, 4, nfb)
     z = cbr_w("dec0b", z, 4)
 

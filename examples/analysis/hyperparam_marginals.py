@@ -22,7 +22,13 @@ SKIP = {"trial", "seconds", METRIC}
 
 def main(path):
     with open(path) as fp:
-        rows = list(csv.DictReader(fp))
+        raw = list(csv.DictReader(fp))
+    # The search writes val_nf_f1_mean=nan for diverged/failed configs by
+    # design; NaN poisons mean/max/sort, so drop (and report) those rows.
+    rows = [r for r in raw if float(r[METRIC]) == float(r[METRIC])]
+    if len(rows) < len(raw):
+        print(f"{path}: dropped {len(raw) - len(rows)} NaN "
+              f"(diverged/failed) of {len(raw)} rows")
     vals = [float(r[METRIC]) for r in rows]
     n = len(vals)
     mean = sum(vals) / n

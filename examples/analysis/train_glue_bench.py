@@ -57,14 +57,21 @@ def main():
         return jnp.asarray(rng.standard_normal(shape), dtype)
 
     done = set()
+    rows = []
     if os.path.exists(args.csv):
+        # Resume: rows already in the CSV are skipped by row() below, so
+        # load them here too or the final sum-of-glue total would cover
+        # only this session's rows (a resumed run would print ~0 ms).
         with open(args.csv) as fp:
-            done = {ln.split(",")[0] for ln in fp.read().splitlines()[1:]}
+            for ln in fp.read().splitlines()[1:]:
+                parts = ln.split(",")
+                rows.append((parts[0], float(parts[1]), float(parts[2]),
+                             float(parts[3]), float(parts[4]),
+                             ",".join(parts[5:])))
+        done = {r[0] for r in rows}
     else:
         with open(args.csv, "w") as fp:
             fp.write("op,fwd_ms,fbwd_ms,bwd_ms,hbm_floor_ms,note\n")
-
-    rows = []
 
     def row(name, fwd_fn, x, note="", count=1):
         if name in done:
@@ -112,10 +119,13 @@ def main():
     # ---- pools 2, 3: standard 2x2 ----
     from deepcalcium_tpu.models import blocks as B
 
+    # B.maxpool2 now carries the 4-way dense first-match gradient
+    # (bf226fe); committed rows named pool2_std/pool3_std predate that
+    # and measured the select_and_scatter form.
     row("pool2_std", B.maxpool2, arr((b, win // 4, win // 4, 4 * nfb)),
-        "2x2 select_and_scatter bwd")
+        "2x2 dense first-match bwd (production maxpool2)")
     row("pool3_std", B.maxpool2, arr((b, win // 8, win // 8, 8 * nfb)),
-        "2x2 select_and_scatter bwd")
+        "2x2 dense first-match bwd (production maxpool2)")
 
     # ---- grouped BN at L0 (largest activation), FULL vjp ----
     gamma = jnp.ones((nfb,), jnp.float32)
@@ -169,32 +179,17 @@ def main():
     row("concat_dec3a", concat3, arr((b, win // 8, win // 8, 8 * nfb)),
         "concat + scale (slice bwd)")
 
-    # ---- DENSE-GRAD pool candidates -------------------------------
+    # ---- DENSE-GRAD pools (now the production path) ---------------
     # select_and_scatter (reduce_window max's vjp) costs pool0 0.59 ms
     # of backward against a 0.05 ms floor. For a window-2/stride-2 max,
     # first-match routing is exactly `a >= b`: da = g*(a>=b),
     # db = g*(a<b) — dense elementwise, no scatter, IDENTICAL semantics
     # (select_and_scatter picks the first maximal element per window).
-
-    @jax.custom_vjp
-    def hpool2_dense(z):
-        a = z[:, 0::2]
-        bb = z[:, 1::2]
-        return jnp.maximum(a, bb)
-
-    def _hp_fwd(z):
-        a = z[:, 0::2]
-        bb = z[:, 1::2]
-        return jnp.maximum(a, bb), (a >= bb)
-
-    def _hp_bwd(win_mask, g):
-        ga = jnp.where(win_mask, g, 0)
-        gb = jnp.where(win_mask, jnp.zeros_like(g), g)
-        # interleave back along H: (b, h2, 2, w, c) -> (b, h, w, c)
-        s = jnp.stack([ga, gb], axis=2)
-        return (s.reshape(g.shape[0], 2 * g.shape[1], *g.shape[2:]),)
-
-    hpool2_dense.defvjp(_hp_fwd, _hp_bwd)
+    # These rows time the SHIPPED primitive (unet2d_fast.hpool2, i.e.
+    # blocks.pool2_axis) — an earlier revision timed a private copy,
+    # which would silently decouple the CSV from production if the
+    # shared implementation ever changed.
+    from deepcalcium_tpu.models.unet2d_fast import hpool2 as hpool2_dense
 
     def pool0_dense(z):
         m = (z.reshape(b, win, wp, 2, 2, nfb).max(axis=4)

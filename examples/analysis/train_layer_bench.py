@@ -137,6 +137,15 @@ class LoopTimer:
     The carry is perturbed by 1e-24 x one output element each iteration
     (in-place on the aliased while-loop buffer) — loop-variant, so the op
     can't be hoisted; numerically a no-op, so shapes/values stay sane.
+
+    ``consts`` are passed to the jitted loop as RUNTIME arguments (they
+    are runtime tensors in the real training step); an earlier revision
+    closed over them instead, baking them in as HLO constants XLA could
+    constant-specialize against (e.g. pre-fold layouts of a weight that
+    is runtime in production). The committed r4/r4b CSVs predate the fix;
+    their rows cross-checked against composite step timings (sum-of-parts
+    vs the 11.6 ms step) so the bias was bounded, but fresh runs are the
+    authoritative form.
     """
 
     def __init__(self, op, carry0, consts=()):
@@ -144,7 +153,7 @@ class LoopTimer:
         self.consts = consts
         idx = (0,) * carry0.ndim
 
-        def body(i, c):
+        def body(c, cs):
             # Anti-slicing contract (VERDICT r3 weak #2 class of bug):
             # the op's result is consumed via ONE element, and XLA's
             # slice-sinking will happily shrink a BARE conv to a
@@ -157,13 +166,13 @@ class LoopTimer:
             # every element by construction). optimization_barrier would
             # be the principled fence, but it hangs the TPU compiler
             # inside while-loop bodies (>300 s for one small graph).
-            y = op(c, *consts)
+            y = op(c, *cs)
             s = (y[(0,) * y.ndim].astype(carry0.dtype)
                  * jnp.asarray(1e-24, carry0.dtype))
             return c.at[idx].add(s)
 
         def run(n, c, *cs):
-            out = jax.lax.fori_loop(0, n, lambda i, cc: body(i, cc), c)
+            out = jax.lax.fori_loop(0, n, lambda i, cc: body(cc, cs), c)
             return out[idx].astype(jnp.float32)
 
         self._jfn = jax.jit(run)

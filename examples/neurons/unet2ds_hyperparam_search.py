@@ -142,6 +142,12 @@ def main():
         ap.error(f"--steps-per-dispatch {args.steps_per_dispatch} must be "
                  f">= 1 and divide --steps {args.steps}")
 
+    # --resume without --out would silently no-op (the default out_csv is
+    # a fresh timestamped name that never exists, so nothing is loaded and
+    # the RNG stream restarts at trial 0, scattering rows across CSVs).
+    if args.resume and not args.out:
+        ap.error("--resume requires --out (the CSV whose rows to extend)")
+
     if args.make_fixtures:
         fix_dir = os.path.join(checkpoints_dir(), "search_fixtures_r3")
         paths = make_hard_fixtures(args.make_fixtures, fix_dir,

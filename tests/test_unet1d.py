@@ -275,3 +275,26 @@ def test_pool2_axis_matches_reduce_window_1d():
     ct = jnp.asarray(rng.standard_normal(o_ref.shape), jnp.float32)
     np.testing.assert_array_equal(np.asarray(vjp_ref(ct)[0]),
                                   np.asarray(vjp_new(ct)[0]))
+
+
+def test_pool2_axis_rejects_negative_axis():
+    """A negative axis would silently corrupt the backward interleave
+    (the vjp stacks the window pair at axis+1, which lands at the wrong
+    position for axis<0 while the reshape still succeeds) — so it must
+    raise, on the forward AND under differentiation (custom_vjp calls
+    the fwd rule directly)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from deepcalcium_tpu.models import blocks as B
+
+    z = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
+    with pytest.raises(ValueError, match="non-negative"):
+        B.pool2_axis(z, -2)
+    with pytest.raises(ValueError, match="non-negative"):
+        jax.vjp(lambda h: B.pool2_axis(h, -2), z)
+    # The equivalent non-negative axis stays exact.
+    np.testing.assert_array_equal(
+        np.asarray(B.pool2_axis(z, 1)),
+        np.asarray(jnp.maximum(z[:, 0::2], z[:, 1::2])))
