@@ -309,10 +309,47 @@ def batch_norm(x, p, s, train: bool, momentum: float):
     return y, new_s
 
 
+# Experiment knob (examples/analysis/dropout_remat_bench.py): when True,
+# dropout uses a custom_vjp whose BACKWARD regenerates the mask from the
+# PRNG key instead of letting AD carry the mask as a residual. Forward
+# values and gradients are bitwise-identical either way (same key -> same
+# bernoulli draw); what changes is the HLO handed to XLA — the residual
+# form can force mask materialization at fusion boundaries, the remat
+# form presents two independent cheap draws XLA may fuse into each
+# consumer. Read at TRACE time (flip only around building a fresh step).
+DROPOUT_REMAT_BWD = False
+
+
+def _dropout_apply(x, rate: float, key):
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _dropout_remat(x, rate: float, key):
+    return _dropout_apply(x, rate, key)
+
+
+def _dropout_remat_fwd(x, rate: float, key):
+    # Residual is the KEY (a few words), not the mask (a full activation-
+    # sized tensor): the backward redraws the identical bernoulli mask.
+    return _dropout_apply(x, rate, key), key
+
+
+def _dropout_remat_bwd(rate: float, key, g):
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, g.shape)
+    return (jnp.where(mask, g / keep, 0.0).astype(g.dtype), None)
+
+
+_dropout_remat.defvjp(_dropout_remat_fwd, _dropout_remat_bwd)
+
+
 def dropout(x, rate: float, train: bool, key):
     """Inverted dropout (Keras semantics)."""
     if not train or rate == 0.0:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    if DROPOUT_REMAT_BWD:
+        return _dropout_remat(x, rate, key)
+    return _dropout_apply(x, rate, key)

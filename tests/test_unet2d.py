@@ -258,3 +258,30 @@ def test_maxpool2_dense_grad_matches_reduce_window():
     ct = jnp.asarray(rng.standard_normal(o_ref.shape), jnp.float32)
     np.testing.assert_array_equal(np.asarray(vjp_ref(ct)[0]),
                                   np.asarray(vjp_new(ct)[0]))
+
+def test_dropout_remat_bwd_bitwise_equal():
+    """The remat-backward dropout (blocks.DROPOUT_REMAT_BWD) must be
+    bitwise-identical to the residual form in BOTH passes: same key ->
+    same bernoulli draw, so redrawing the mask in the backward changes
+    only the HLO XLA sees, never a value. Flag is read at trace time —
+    build a fresh jitted step per setting."""
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 16),
+                          jnp.bfloat16)
+
+    def run(flag):
+        old = B.DROPOUT_REMAT_BWD
+        B.DROPOUT_REMAT_BWD = flag
+        try:
+            def f(x):
+                y = B.dropout(x, 0.25, True, key).astype(jnp.float32)
+                return jnp.sum(jnp.sin(y))
+            return jax.jit(jax.value_and_grad(f))(x)
+        finally:
+            B.DROPOUT_REMAT_BWD = old
+
+    v0, g0 = run(False)
+    v1, g1 = run(True)
+    assert v0 == v1
+    np.testing.assert_array_equal(np.asarray(g0, np.float32),
+                                  np.asarray(g1, np.float32))
