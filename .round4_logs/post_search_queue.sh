@@ -26,6 +26,29 @@ for i in $(seq 1 600); do
   sleep 60
 done
 
+# Stage 0 (cheap, ~2 min): does the JAX persistent compilation cache
+# work through the axon PJRT plugin? If yes, future relaunches can skip
+# the 100-500 s/shape recompiles that dominate every VM-restart recovery.
+if [ ! -f "$LOG/compile_cache_probe.txt" ]; then
+  python .round3_logs/wait_healthy2.py >> "$LOG/postq.log" 2>&1 || exit 1
+  for pass in 1 2; do
+    timeout 600 python - >> "$LOG/compile_cache_probe.txt" 2>&1 <<'PYEOF'
+import time
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import numpy as np
+x = jnp.asarray(np.random.rand(512, 512), jnp.float32)
+f = jax.jit(lambda v: jnp.tanh(v @ v.T).sum() * 1.00042)  # unusual graph
+t0 = time.time()
+float(f(x))
+print(f"first-call (compile+load) {time.time()-t0:.2f}s on "
+      f"{jax.devices()[0].platform}", flush=True)
+PYEOF
+  done
+  echo "[postq] compile_cache probe done" >> "$LOG/postq.log"
+fi
+
 if [ ! -f "$LOG/dropout_remat.csv" ]; then
   python .round3_logs/wait_healthy2.py >> "$LOG/postq.log" 2>&1 || exit 1
   timeout 3600 python examples/analysis/dropout_remat_bench.py \
