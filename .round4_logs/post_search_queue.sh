@@ -49,12 +49,22 @@ PYEOF
   echo "[postq] compile_cache probe done" >> "$LOG/postq.log"
 fi
 
+# Quick pass first (W-packed production path only, 4 configs) — it alone
+# decides the DROPOUT_REMAT_BWD default; the parity-path rows are a
+# completeness follow-up ("full" stage below).
 if [ ! -f "$LOG/dropout_remat.csv" ]; then
   python .round3_logs/wait_healthy2.py >> "$LOG/postq.log" 2>&1 || exit 1
-  timeout 3600 python examples/analysis/dropout_remat_bench.py \
+  timeout 3600 python examples/analysis/dropout_remat_bench.py --quick \
       > "$LOG/dropout_remat.csv.tmp" 2> "$LOG/dropout_remat.err" \
     && mv "$LOG/dropout_remat.csv.tmp" "$LOG/dropout_remat.csv"
-  echo "[postq] dropout_remat done rc=$?" >> "$LOG/postq.log"
+  echo "[postq] dropout_remat quick done rc=$?" >> "$LOG/postq.log"
+fi
+if [ ! -f "$LOG/dropout_remat_full.csv" ]; then
+  python .round3_logs/wait_healthy2.py >> "$LOG/postq.log" 2>&1 || exit 1
+  timeout 5400 python examples/analysis/dropout_remat_bench.py \
+      > "$LOG/dropout_remat_full.csv.tmp" 2> "$LOG/dropout_remat_full.err" \
+    && mv "$LOG/dropout_remat_full.csv.tmp" "$LOG/dropout_remat_full.csv"
+  echo "[postq] dropout_remat full done rc=$?" >> "$LOG/postq.log"
 fi
 
 if [ ! -f docs/train_layer_bench_r4c.csv.done ]; then
