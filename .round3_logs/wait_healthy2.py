@@ -23,17 +23,25 @@ HOST_MIN = 150.0   # healthy host numpy is ~400 MB/s; throttled is 4-44
 LINK_MIN = 0.0   # recorded for diagnosis, not gated on
 DISPATCH_MAX_MS = 150.0  # healthy warm roundtrip ~28 ms; hang state = inf
 PROBE_TIMEOUT = 240  # covers the ~40 s first-dispatch load with margin
+# Post-VM-restart the remote compile/load path is COLD: the probe's own
+# first dispatch can cost 300-900+ s, so a 240 s kill leaves the tunnel
+# forever unwarmed and the gate spins (observed 3x in session h, again
+# session i — only an untimed manual probe un-wedged it). Escalate every
+# third consecutive device-hang attempt to a long warm probe.
+PROBE_TIMEOUT_WARM = 1200
 SLEEP = 180
 MAX_HOURS = 10
 
 here = "/root/repo/.round3_logs"
 t_start = time.time()
 attempt = 0
+hangs = 0  # consecutive attempts with no device roundtrip
 while time.time() - t_start < MAX_HOURS * 3600:
     attempt += 1
+    budget = PROBE_TIMEOUT_WARM if (hangs and hangs % 3 == 0) else PROBE_TIMEOUT
     try:
         out = subprocess.run(
-            ["timeout", str(PROBE_TIMEOUT), sys.executable,
+            ["timeout", str(budget), sys.executable,
              f"{here}/probe_once.py"],
             capture_output=True, text=True, cwd="/root/repo")
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
@@ -43,10 +51,11 @@ while time.time() - t_start < MAX_HOURS * 3600:
     host = res.get("host_MBps", 0.0)
     link = res.get("link_MBps", 0.0)
     disp = res.get("dispatch_ms", float("inf"))
+    hangs = hangs + 1 if disp == float("inf") else 0
     healthy = (host >= HOST_MIN and link >= LINK_MIN
                and disp <= DISPATCH_MAX_MS)
-    print(f"[wait_healthy] attempt {attempt}: host={host} MB/s "
-          f"link={link} MB/s dispatch={disp} ms -> "
+    print(f"[wait_healthy] attempt {attempt} (budget {budget}s): "
+          f"host={host} MB/s link={link} MB/s dispatch={disp} ms -> "
           f"{'HEALTHY' if healthy else 'throttled'}",
           flush=True)
     if healthy:
