@@ -13,6 +13,10 @@ x = np.random.rand(25_000_000).astype("float32")  # 100 MB, incompressible
 t0 = time.time()
 float(x.sum())
 res["host_MBps"] = round(100 / (time.time() - t0), 1)
+# Interim line: if the device path below hangs and the caller's timeout
+# kills us, the last JSON line still carries the host reading (the gate
+# takes the last {-prefixed line; missing keys default to hang values).
+print(json.dumps(res), flush=True)
 
 import jax  # noqa: E402
 
