@@ -187,6 +187,23 @@ def main():
         return {**cfg, "trial": trial, "val_nf_f1_mean": score,
                 "seconds": round(time.time() - t0, 1)}
 
+    def valid_rows(reader):
+        """Drop malformed trailing rows (a VM restart racing the CSV
+        snapshotter can commit a torn last line — ADVICE r4). A torn row
+        shows up as missing fields (DictReader fills None) or an
+        unparseable score; keep everything up to the first bad row so the
+        RNG replay in --resume stays aligned with the row count."""
+        rows = []
+        for r in reader:
+            try:
+                if any(v is None for v in r.values()) or None in r:
+                    break
+                float(r["val_nf_f1_mean"])  # 'nan' parses; torn text won't
+            except (ValueError, KeyError):
+                break
+            rows.append(r)
+        return rows
+
     def coerce(row):
         """CSV round-trip: restore a sampled config's native types."""
         cfg = {}
@@ -199,7 +216,7 @@ def main():
         if not args.out:
             ap.error("--rerun-top requires --out (the CSV to rank)")
         with open(out_csv) as fp:
-            prior = list(csv.DictReader(fp))
+            prior = valid_rows(csv.DictReader(fp))
         ok = [r for r in prior
               if float(r["val_nf_f1_mean"]) == float(r["val_nf_f1_mean"])]
         top = sorted(ok, key=lambda r: -float(r["val_nf_f1_mean"]))
@@ -208,7 +225,7 @@ def main():
         done = []
         if os.path.exists(out2):  # restart-safe: skip re-run trials
             with open(out2) as fp:
-                done = list(csv.DictReader(fp))
+                done = valid_rows(csv.DictReader(fp))
         rows = list(done)
         done_trials = {int(r["trial"]) for r in done}
         for r in top:
@@ -230,7 +247,7 @@ def main():
     start = 0
     if args.resume and os.path.exists(out_csv):
         with open(out_csv) as fp:
-            rows = list(csv.DictReader(fp))
+            rows = valid_rows(csv.DictReader(fp))
         start = len(rows)
         for _ in range(start):  # replay consumed draws -> stream continues
             sample(rng)
