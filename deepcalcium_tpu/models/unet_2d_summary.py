@@ -584,19 +584,35 @@ class UNet2DSummary:
         apply_fn = self._resolve_apply_fn(fast, params, (window_shape,))
 
         from deepcalcium_tpu.ops.summary import auto_backend
-        from deepcalcium_tpu.train.evaluate import evaluate_movie_streaming
+        from deepcalcium_tpu.train.evaluate import (evaluate_movie_streaming,
+                                                    evaluate_movie_tiled)
 
         logger = logging.getLogger(funcname())
+
+        def oversized(h, w):
+            return h > window_shape[0] or w > window_shape[1]
+
         if isinstance(movie, (str, os.PathLike)):
             # Stream straight off disk: chunked reads fold through
             # StreamingSummary (host or device per the bandwidth probe) and
             # only the mean image reaches the device — the raw movie never
             # fully materializes in RAM.
             with h5py.File(movie, "r") as fp:
-                mask, prob, _ = evaluate_movie_streaming(
-                    apply_fn, params, state, fp["series/raw"],
+                raw = fp["series/raw"]
+                ev = (evaluate_movie_tiled if oversized(*raw.shape[1:])
+                      else evaluate_movie_streaming)
+                mask, prob, _ = ev(
+                    apply_fn, params, state, raw,
                     window=window_shape, tta=tta, threshold=threshold,
                     mesh=mesh)
+            return mask, prob
+        if oversized(*movie.shape[1:]):
+            # Frames exceed the inference window: sliding-window tiled
+            # evaluate (streaming summary; only tile batches reach the
+            # device) — the fused single-window evaluator can't pad DOWN.
+            mask, prob, _ = evaluate_movie_tiled(
+                apply_fn, params, state, np.asarray(movie),
+                window=window_shape, tta=tta, threshold=threshold, mesh=mesh)
             return mask, prob
         if isinstance(movie, np.ndarray):
             backend, probe_mbps = auto_backend()
@@ -649,11 +665,25 @@ class UNet2DSummary:
 
         from deepcalcium_tpu.utils.runtime import phase_timer
 
+        # Images larger than the window dispatch to the sliding-window tiled
+        # path (beyond-reference: the reference asserts 512² fields of view,
+        # unet_2d_summary.py:565-566); in-window images run as ONE batch.
+        from deepcalcium_tpu.train.evaluate import predict_tiled
+
+        hw, ww = window_shape
+        fits = [s.shape[0] <= hw and s.shape[1] <= ww for s in S]
         predictor = predict_tta if augmentation else predict_batched
         nviews = len(S) * (8 if augmentation else 1)
         with phase_timer("predict_forward", items=nviews, unit="views"):
-            probs = predictor(fwd, params, state, S, window=window_shape,
-                              mesh=mesh, max_batch=max_batch)
+            small = [s for s, f in zip(S, fits) if f]
+            small_probs = iter(
+                predictor(fwd, params, state, small, window=window_shape,
+                          mesh=mesh, max_batch=max_batch) if small else [])
+            probs = [next(small_probs) if f else
+                     predict_tiled(fwd, params, state, s, window=window_shape,
+                                   mesh=mesh, max_batch=max_batch,
+                                   tta=augmentation)
+                     for s, f in zip(S, fits)]
         Mp = [(p > threshold).astype(np.uint8) for p in probs]
 
         # The exact mask summary is a sequential host walk — compute it at

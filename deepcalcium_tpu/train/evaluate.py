@@ -26,7 +26,7 @@ from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
 
 __all__ = ["reflect_pad_to", "predict_batched", "predict_tta",
            "predict_tiled", "make_movie_evaluator", "make_summary_evaluator",
-           "evaluate_movie_streaming"]
+           "evaluate_movie_streaming", "evaluate_movie_tiled"]
 
 
 def _image_eval_body(apply_fn, image_shape, window, tta, threshold):
@@ -214,6 +214,44 @@ def evaluate_movie_streaming(apply_fn, params, state, movie,
     return np.asarray(mask), np.asarray(prob), mean
 
 
+def evaluate_movie_tiled(apply_fn, params, state, movie, window=(512, 512),
+                         tta=True, threshold=0.5, overlap=None, mesh=None,
+                         max_batch=None, chunk=256):
+    """Evaluate a movie whose frames EXCEED the inference window (a
+    beyond-reference capability — the reference asserts 512² fields of
+    view, ``unet_2d_summary.py:565-566``): streaming mean summary ->
+    host z-norm -> sliding-window tiled forward (:func:`predict_tiled`,
+    per-tile TTA) -> threshold.
+
+    The raw frames never ship to the device — only the window-sized tile
+    batch does — so a 2048² field of view works through the same thin
+    tunnel budget as a 512² one.
+
+    # Returns
+        (mask uint8 (H, W), prob float32 (H, W), mean float32 (H, W))
+        as host arrays.
+    """
+    from deepcalcium_tpu.ops.summary import StreamingSummary
+    from deepcalcium_tpu.train.trainer import make_eval_forward
+
+    t = movie.shape[0]
+    h, w = movie.shape[1:]
+    dtype = np.asarray(movie[0:1]).dtype
+    ss = StreamingSummary((h, w), dtype=dtype, track_max=False)
+    for i in range(0, t, chunk):
+        ss.update(np.asarray(movie[i : i + chunk]))
+    mean, _ = ss.result()
+    # Same z-norm semantics as _image_eval_body (subnormal-scale floor so a
+    # constant movie yields z=0, not NaN probs), on host.
+    z = (mean - np.mean(mean)) / max(float(np.std(mean)), 1e-12)
+
+    fwd = make_eval_forward(apply_fn, mesh=mesh)
+    prob = predict_tiled(fwd, params, state, z, window=window,
+                         overlap=overlap, mesh=mesh, max_batch=max_batch,
+                         tta=tta)
+    return (prob > threshold).astype(np.uint8), prob, mean
+
+
 def reflect_pad_to(img: np.ndarray, hw: int, ww: int) -> np.ndarray:
     """Pad (H, W) -> (hw, ww) bottom/right with reflection (reference
     ``unet_2d_summary.py:569-571``)."""
@@ -262,30 +300,42 @@ def predict_batched(fwd, params, state, images, window=(512, 512), mesh=None,
     return [p[: s.shape[0], : s.shape[1]] for p, s in zip(probs, images)]
 
 
-def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=64,
-                  mesh=None, max_batch=None):
+def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=None,
+                  mesh=None, max_batch=None, tta=False):
     """Sliding-window prediction for an image LARGER than the network window.
 
     The reference cannot do this (it asserts 512² and pads up,
     ``unet_2d_summary.py:565-566``); here big fields of view tile into
     overlapping windows, run as one batch, and blend by averaging the
     overlaps (cosine-free uniform blend — U-Net borders are the reason for
-    the overlap).
+    the overlap). Reached automatically from ``UNet2DSummary.predict`` /
+    ``evaluate_movie`` when an image exceeds ``window_shape``.
 
     # Arguments
         img: one (H, W) image with H, W >= window is allowed in either or
             both dims (smaller dims are reflect-padded).
-        overlap: pixels of overlap between adjacent tiles.
+        overlap: pixels of overlap between adjacent tiles; None (default)
+            picks min(64, min(window)//2) so any window size works.
+        tta: run each tile through the fused 8-view test-time-augmentation
+            batch (the tiled generalization of :func:`predict_tta`: views
+            expand/collapse PER TILE — a rot90 of a big field of view would
+            change which pixels share a window, so whole-image TTA does not
+            commute with tiling).
 
     # Returns
         (H, W) float probability map.
     """
     img = np.asarray(img, np.float32)
     hw, ww = window
+    if overlap is None:
+        overlap = min(64, min(hw, ww) // 2)
     if not (0 <= overlap < min(hw, ww)):
         raise ValueError(
             f"overlap must be in [0, min(window)) = [0, {min(hw, ww)}); "
             f"got {overlap}")
+    if tta and hw != ww:
+        raise ValueError(f"TTA needs a square window (rot90 views); "
+                         f"got {window}")
     h, w = img.shape
     ph, pw = max(h, hw), max(w, ww)
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="reflect") \
@@ -301,8 +351,15 @@ def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=64,
         xs.append(pw - ww)
 
     tiles = np.stack([padded[y : y + hw, x : x + ww] for y in ys for x in xs])
-    probs = _run_batched(fwd, params, state, tiles, mesh=mesh,
-                         max_batch=max_batch)
+    if tta:
+        n = tiles.shape[0]
+        views = tta_expand_np(tiles).reshape(8 * n, hw, ww)
+        vprobs = _run_batched(fwd, params, state, views, mesh=mesh,
+                              max_batch=max_batch)
+        probs = tta_collapse_np(vprobs.reshape(8, n, hw, ww))
+    else:
+        probs = _run_batched(fwd, params, state, tiles, mesh=mesh,
+                             max_batch=max_batch)
 
     acc = np.zeros((ph, pw), np.float64)
     cnt = np.zeros((ph, pw), np.float64)
