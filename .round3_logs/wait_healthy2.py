@@ -44,8 +44,13 @@ while time.time() - t_start < MAX_HOURS * 3600:
             ["timeout", str(budget), sys.executable,
              f"{here}/probe_once.py"],
             capture_output=True, text=True, cwd="/root/repo")
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-        res = json.loads(line) if line.startswith("{") else {}
+        # Scan BACKWARDS for the last JSON line: probe_once prints an
+        # interim host-only line before the device probe, and any trailing
+        # non-JSON stdout (library warnings) must not zero the reading
+        # (ADVICE r4).
+        line = next((ln for ln in reversed(out.stdout.strip().splitlines())
+                     if ln.startswith("{")), "")
+        res = json.loads(line) if line else {}
     except Exception as e:  # noqa: BLE001 — watchdog must never die
         res = {"error": repr(e)}
     host = res.get("host_MBps", 0.0)
