@@ -189,25 +189,31 @@ def main():
     # (cancels tunnel dispatch+fetch latency), two warm dispatches per
     # shape (docs/VALIDATION.md round 2, train_step_ab_bench.py).
     from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
-    from deepcalcium_tpu.utils.benchtools import slope_train_step_time
+    from deepcalcium_tpu.utils.benchtools import slope_train_step_time_ab
 
     tb, twin = 20, 128
     apply_tr = functools.partial(apply_fast_w_train,
                                  compute_dtype=jnp.bfloat16)
-    dt_train = slope_train_step_time(apply_tr, tb, twin)
+    # Parity default (threefry) and the supported perf preset
+    # (fit(preset='perf') / dc-tpu train --preset perf: rbg dropout PRNG;
+    # its second lever, K=4 scan dispatch, changes WALL time only — the
+    # slope method measures pure device time, so the delta here is the
+    # PRNG lever alone). Measured INTERLEAVED: BENCH_r04's sequential
+    # measurement let a throttle window invert the preset comparison
+    # (VERDICT r4 weak #2); round-robin timing makes weather hit both
+    # configs equally.
+    ab = slope_train_step_time_ab(apply_tr, tb, twin,
+                                  rng_impls=("threefry2x32", "rbg"))
+    dt_train, dt_train_perf = ab["threefry2x32"], ab["rbg"]
+    # Self-diagnosing: the preset's own A/B (docs/dropout_remat_r4.csv)
+    # has rbg ~15% faster; an inversion surviving interleaved timing
+    # means the window was too noisy to rank ~1.7 ms — flag it.
+    train_perf_inverted = bool(dt_train_perf >= dt_train)
     # Analytic train-step FLOPs: fwd + input-grad + weight-grad conv passes
     # ≈ 3x the forward's conv FLOPs per window (standard accounting; BN/
     # metric/Adam elementwise ops are bandwidth-bound, <2% of arithmetic).
     train_flops = 3 * tb * unet2d.forward_flops(twin, twin, nfb=32)
     train_tflops = train_flops / dt_train / 1e12
-
-    # The supported perf preset (fit(preset='perf') / dc-tpu train
-    # --preset perf): rbg dropout PRNG. Its second lever, K=4 scan
-    # dispatch, changes WALL time only — the slope method already
-    # measures pure device time, so the device-step delta here is the
-    # PRNG lever alone (VERDICT r3 #2: report preset next to parity).
-    dt_train_perf = slope_train_step_time(apply_tr, tb, twin,
-                                          rng_impl="rbg")
     train_perf_tflops = train_flops / dt_train_perf / 1e12
 
     # 1-D (UNet1D spike) training at the reference recipe: batch 20
@@ -257,8 +263,11 @@ def main():
         "train_mfu": round(train_tflops / PEAK_TFLOPS, 4),
         # The supported perf preset (rbg PRNG device lever; K-scan is a
         # wall-clock lever the slope method cancels by construction).
+        # Measured interleaved with the parity config; inverted=true
+        # means the window was too noisy to rank the ~15% preset gain.
         "train_perf_step_ms": round(dt_train_perf * 1e3, 2),
         "train_perf_mfu": round(train_perf_tflops / PEAK_TFLOPS, 4),
+        "train_perf_inverted": train_perf_inverted,
         # 1-D spike training (UNet1D, reference recipe shape).
         "train1d_step_ms": round(dt_train1d * 1e3, 2),
         "train1d_windows_per_sec": round(t1b / dt_train1d, 1),
