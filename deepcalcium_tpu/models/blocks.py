@@ -317,6 +317,12 @@ def batch_norm(x, p, s, train: bool, momentum: float):
 # form can force mask materialization at fusion boundaries, the remat
 # form presents two independent cheap draws XLA may fuse into each
 # consumer. Read at TRACE time (flip only around building a fresh step).
+#
+# VERDICT (measured, docs/dropout_remat_r4.csv + VALIDATION §dropout
+# backward-remat): neutral-to-slightly-worse on every path x PRNG combo
+# (production W-packed+rbg 9.560 -> 9.527 ms = noise; threefry combos
+# +0.3-0.5 ms) — the default stays False; kept as a documented negative
+# result. The real dropout lever is the rbg PRNG (preset="perf").
 DROPOUT_REMAT_BWD = False
 
 
