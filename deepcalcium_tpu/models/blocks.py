@@ -20,6 +20,7 @@ while params and BN statistics stay float32.
 """
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -359,3 +360,56 @@ def dropout(x, rate: float, train: bool, key):
     if DROPOUT_REMAT_BWD:
         return _dropout_remat(x, rate, key)
     return _dropout_apply(x, rate, key)
+
+
+# Experiment knob (examples/analysis/dropout_fused_bench.py): when True,
+# the W-packed training forward draws ALL of a step's dropout masks in ONE
+# PRNG call (fused_dropout_masks) instead of seven per-site bernoulli
+# draws. Same per-element Bernoulli(keep) distribution (the reshape of a
+# counter-mode stream is bijective); what changes is the HLO — one big
+# random-bits kernel + seven slice/compares vs seven independent draws,
+# each a potential fusion boundary in the backward graph. Read at TRACE
+# time, like DROPOUT_REMAT_BWD.
+DROPOUT_FUSED_DRAW = False
+
+
+def fused_dropout_masks(key, shapes, rates):
+    """Draw every dropout mask of a training step in one PRNG call.
+
+    Returns one boolean keep-mask per ``(shape, rate)`` site (``None``
+    where ``rate == 0``). When every keep probability is an exact multiple
+    of 1/256 (the production rates 0.25 and 0.5 are), a single uint8
+    random-bits stream is thresholded — 4x less random-bit HBM traffic
+    than f32 uniforms with an exactly-Bernoulli(keep) result
+    (P(u8 < 256*keep) = keep). Otherwise falls back to one f32 uniform
+    stream.
+    """
+    keeps = [1.0 - r for r in rates]
+    sizes = [math.prod(s) if r else 0 for s, r in zip(shapes, rates)]
+    total = sum(sizes)
+    live = [k for k, r in zip(keeps, rates) if r]
+    exact_u8 = all(float(k * 256).is_integer() for k in live)
+    if exact_u8:
+        bits = jax.random.bits(key, (total,), dtype=jnp.uint8)
+        segment_mask = [
+            (lambda seg, t=int(round(k * 256)): seg < jnp.uint8(t))
+            for k in keeps]
+    else:
+        bits = jax.random.uniform(key, (total,), dtype=jnp.float32)
+        segment_mask = [(lambda seg, k=k: seg < k) for k in keeps]
+    masks, off = [], 0
+    for cmp, shape, n in zip(segment_mask, shapes, sizes):
+        if n == 0:
+            masks.append(None)
+            continue
+        masks.append(cmp(bits[off:off + n]).reshape(shape))
+        off += n
+    return masks
+
+
+def dropout_with_mask(x, rate: float, mask):
+    """Inverted dropout from a precomputed keep-mask (fused-draw path)."""
+    if mask is None or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -706,10 +706,31 @@ def apply_fast_w_train(params, state, x, train: bool = True, rng=None,
     def up_w2_to_w4(name, hh):
         return up(name, hh, "w4")
 
-    def drop(hh, rate):
-        return B.dropout(hh, rate, True, next(rngs))
-
     nfb = params["enc0a_conv"]["kernel"].shape[-1]
+
+    if B.DROPOUT_FUSED_DRAW:
+        # One PRNG call for the whole step (blocks.fused_dropout_masks):
+        # the seven mask shapes below are the drop-site activations in
+        # application order, all derivable from (b, h, w, nfb) upfront —
+        # each consumption asserts the shape so a topology change can't
+        # silently misalign the slices.
+        _shapes = [(b, h // 2, wp, 4 * nfb),        # enc1  (W2)
+                   (b, h // 4, w // 4, 4 * nfb),    # enc2
+                   (b, h // 8, w // 8, 8 * nfb),    # enc3
+                   (b, h // 8, w // 8, 8 * nfb),    # up3
+                   (b, h // 4, w // 4, 4 * nfb),    # up2
+                   (b, h // 2, wp, 4 * nfb),        # up1  (W2)
+                   (b, h, wp, 4 * nfb)]             # up0  (W4)
+        _rates = [drp, 2 * drp, 2 * drp, 2 * drp, 2 * drp, 2 * drp, drp]
+        _masks = iter(B.fused_dropout_masks(next(rngs), _shapes, _rates))
+
+        def drop(hh, rate):
+            m = next(_masks)
+            assert m is None or m.shape == hh.shape, (m.shape, hh.shape)
+            return B.dropout_with_mask(hh, rate, m)
+    else:
+        def drop(hh, rate):
+            return B.dropout(hh, rate, True, next(rngs))
 
     # ---- level 0, W4 ----
     z = x.astype(dt).reshape(b, h, wp, 4)

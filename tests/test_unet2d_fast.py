@@ -153,6 +153,78 @@ def test_train_forward_dropout_and_delegation(net):
         apply_fast_w_train(params, state, x, train=True)
 
 
+def test_fused_dropout_masks_unit():
+    """blocks.fused_dropout_masks: shapes, rate-0 sites, exact-u8
+    thresholding (production rates), and the f32 fallback."""
+    from deepcalcium_tpu.models import blocks as B
+
+    key = jax.random.PRNGKey(3)
+    shapes = [(4, 8, 8, 16), (4, 4, 4, 32), (2, 2, 2, 2)]
+    rates = [0.25, 0.5, 0.0]
+    masks = B.fused_dropout_masks(key, shapes, rates)
+    assert masks[0].shape == shapes[0] and masks[0].dtype == jnp.bool_
+    assert masks[1].shape == shapes[1]
+    assert masks[2] is None
+    # Exact-u8 path: reproduce the stream and thresholds by hand
+    # (P(u8 < 256*keep) = keep exactly for keep in {0.75, 0.5}).
+    n0, n1 = 4 * 8 * 8 * 16, 4 * 4 * 4 * 32
+    bits = jax.random.bits(key, (n0 + n1,), dtype=jnp.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(masks[0]).ravel(), np.asarray(bits[:n0] < 192))
+    np.testing.assert_array_equal(
+        np.asarray(masks[1]).ravel(), np.asarray(bits[n0:] < 128))
+    # Non-1/256 keep falls back to one f32 uniform stream; frequency is
+    # still Bernoulli(keep) (binomial 5-sigma bound at n=16384).
+    m = B.fused_dropout_masks(jax.random.PRNGKey(4), [(128, 128)], [0.3])[0]
+    freq = float(jnp.mean(m))
+    assert abs(freq - 0.7) < 5 * np.sqrt(0.7 * 0.3 / m.size)
+    # dropout_with_mask: inverted-dropout semantics from the mask.
+    x = jnp.ones((128, 128), jnp.float32)
+    y = B.dropout_with_mask(x, 0.3, m)
+    np.testing.assert_allclose(
+        np.asarray(y), np.where(np.asarray(m), 1.0 / 0.7, 0.0), rtol=1e-6)
+    assert B.dropout_with_mask(x, 0.0, None) is x
+
+
+def test_train_forward_fused_dropout(net):
+    """DROPOUT_FUSED_DRAW: bitwise-equal to the per-site path at drp=0
+    (no masks drawn either way), runs finite with live masks at drp=0.5,
+    and the masks demonstrably bite (output differs from drp=0)."""
+    from deepcalcium_tpu.models import blocks as B
+
+    params, state = net
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32)
+    r = jax.random.PRNGKey(11)
+
+    ref0, st0 = apply_fast_w_train(params, state, x, train=True, rng=r,
+                                   drp=0.0, compute_dtype=None)
+    try:
+        B.DROPOUT_FUSED_DRAW = True
+        f0, sf0 = apply_fast_w_train(params, state, x, train=True, rng=r,
+                                     drp=0.0, compute_dtype=None)
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(ref0))
+        # drp=0.25 is the production rate (interior sites 2*drp=0.5; at
+        # drp=0.5 the interior keep hits 0 and grads are non-finite on
+        # the per-site path too — degenerate, not a fused-path property).
+        p, st = apply_fast_w_train(params, state, x, train=True, rng=r,
+                                   drp=0.25, compute_dtype=None)
+        assert np.isfinite(np.asarray(p)).all()
+        assert not np.array_equal(np.asarray(p), np.asarray(f0))
+
+        def loss(pp):
+            return jnp.mean(apply_fast_w_train(
+                pp, state, x, train=True, rng=r, drp=0.25,
+                compute_dtype=None)[0] ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+    finally:
+        B.DROPOUT_FUSED_DRAW = False
+
+
 def test_rejects_w_variant_guards(net):
     params, state = net
     x = jnp.zeros((1, 32, 32), jnp.float32)
