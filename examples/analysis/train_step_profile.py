@@ -1,0 +1,203 @@
+"""Trace ONE production train-step dispatch; attribute device time by op.
+
+VERDICT r4 #5: the per-block profile (docs/train_layer_bench_r4c.csv)
+attributes 7.38 ms of the 11.2 ms threefry step (parts floor 5.05 ms),
+leaving ~2-4 ms of inter-block seams / fusion residuals only composite
+timing sees. This script captures a `jax.profiler` trace of the
+production W-packed gradient step (K steps in one jitted lax.scan
+dispatch, so per-step attribution is trace-sound) and aggregates the
+device plane's op events into a named table — the "trace-derived table
+of the seam residual" the round-4 verdict asks for.
+
+Parsing uses `jax.profiler.ProfileData` (in-process xplane reader; no
+TensorBoard round trip). Buckets: conv / dropout-rng / bn / pool /
+copy-reshape / other, mapped from XLA op names.
+
+Usage: python examples/analysis/train_step_profile.py [--batch 20]
+       [--win 128] [--k 8] [--prng rbg] [--fused-dropout]
+       [--logdir /tmp/dc_profile] [--csv docs/train_step_profile_r5.csv]
+"""
+
+import argparse
+import collections
+import functools
+import glob
+import os
+import re
+import sys
+import time
+
+sys.path.append(".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BUCKETS = [
+    ("conv", re.compile(r"conv|dot", re.I)),
+    ("dropout-rng", re.compile(r"rng|bitcast-convert|threefry|philox|erf_inv",
+                               re.I)),
+    ("bn-stats", re.compile(r"batch-norm|variance|divide|rsqrt", re.I)),
+    ("pool", re.compile(r"reduce-window|select-and-scatter|scatter", re.I)),
+    ("copy-reshape", re.compile(r"copy|transpose|reshape|concatenate|slice|"
+                                r"pad|dynamic-update", re.I)),
+    ("reduce", re.compile(r"reduce|all-reduce", re.I)),
+]
+
+
+def bucket_of(name):
+    for b, pat in BUCKETS:
+        if pat.search(name):
+            return b
+    return "other"
+
+
+def build_dispatch(batch, win, k, prng_impl, compute_dtype=jnp.bfloat16,
+                   nfb=32):
+    from deepcalcium_tpu.models import unet2d
+    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+    from deepcalcium_tpu.ops import losses as L
+    from deepcalcium_tpu.train import trainer as T
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params, state = unet2d.init(jax.random.PRNGKey(0), nfb=nfb)
+    apply_fn = functools.partial(apply_fast_w_train,
+                                 compute_dtype=compute_dtype)
+    optimizer = T.make_optimizer(2e-3)
+    step = T.make_train_step(apply_fn, L.LOSSES["binary_crossentropy"],
+                             optimizer)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((k, batch, win, win)), jnp.float32)
+    ys = jnp.asarray((rng.random((k, batch, win, win)) < 0.1), jnp.float32)
+    dev = jax.devices()[0]
+    p = jax.device_put(params, dev)
+    s = jax.device_put(state, dev)
+    o = jax.device_put(optimizer.init(params), dev)
+
+    def scan_steps(p, s, o, key, xs_k, ys_k):
+        def body(carry, xy):
+            p, s, o, key = carry
+            key, sub = jax.random.split(key)
+            x, y = xy
+            p, s, o, logs = step(p, s, o, x, y, sub)
+            return (p, s, o, key), logs["loss"]
+
+        (p, s, o, _), losses = jax.lax.scan(body, (p, s, o, key),
+                                            (xs_k, ys_k))
+        return losses
+
+    fn = jax.jit(scan_steps)
+    key = jax.random.key(7, impl=prng_impl)
+    return lambda: float(jnp.sum(fn(p, s, o, key, xs, ys)))
+
+
+def aggregate(logdir):
+    """Return {plane_name: {line_name: {event_name: (total_ps, count)}}}."""
+    files = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not files:
+        raise SystemExit(f"no xplane.pb under {logdir}")
+    pd = jax.profiler.ProfileData.from_file(files[-1])
+    out = {}
+    for plane in pd.planes:
+        lines = {}
+        for line in plane.lines:
+            agg = collections.defaultdict(lambda: [0, 0])
+            for ev in line.events:
+                # duration_ps preferred; fall back to (end - start) ns.
+                dur = getattr(ev, "duration_ps", None)
+                if dur is None:
+                    dur = int((ev.end_ns - ev.start_ns) * 1e3)
+                a = agg[ev.name]
+                a[0] += dur
+                a[1] += 1
+            lines[line.name] = dict(agg)
+        out[plane.name] = lines
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=20)
+    ap.add_argument("--win", type=int, default=128)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--prng", default="rbg")
+    ap.add_argument("--nfb", type=int, default=32)
+    ap.add_argument("--fused-dropout", action="store_true")
+    ap.add_argument("--logdir", default="/tmp/dc_profile")
+    ap.add_argument("--csv", default="")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    from deepcalcium_tpu.models import blocks as B
+    B.DROPOUT_FUSED_DRAW = args.fused_dropout
+    try:
+        run = build_dispatch(args.batch, args.win, args.k, args.prng,
+                             nfb=args.nfb)
+    finally:
+        B.DROPOUT_FUSED_DRAW = False
+    # TWO warm dispatches (first run of a fresh executable costs ~23 s of
+    # remote load through the tunnel — CLAUDE.md).
+    run()
+    run()
+    tic = time.perf_counter()
+    with jax.profiler.trace(args.logdir):
+        run()
+    wall = time.perf_counter() - tic
+    print(f"# traced dispatch wall={wall*1e3:.1f} ms "
+          f"({wall/args.k*1e3:.2f} ms/step incl. dispatch overhead)",
+          file=sys.stderr, flush=True)
+
+    planes = aggregate(args.logdir)
+    # Diagnose what the plugin actually recorded.
+    for pname, lines in planes.items():
+        for lname, agg in lines.items():
+            tot = sum(v[0] for v in agg.values()) / 1e9
+            print(f"# plane={pname!r} line={lname!r} events={len(agg)} "
+                  f"total={tot:.3f} ms", file=sys.stderr, flush=True)
+
+    # Device plane = the non-host plane with the largest op total.
+    def is_host(n):
+        return "Host" in n or "host" in n or "python" in n.lower()
+
+    best, best_tot = None, -1.0
+    for pname, lines in planes.items():
+        if is_host(pname):
+            continue
+        for lname, agg in lines.items():
+            tot = sum(v[0] for v in agg.values())
+            if tot > best_tot:
+                best, best_tot = (pname, lname), tot
+    if best is None:
+        raise SystemExit("no device plane found — profiler recorded host "
+                         "events only (axon tunnel limitation?)")
+    pname, lname = best
+    agg = planes[pname][lname]
+    rows = sorted(((v[0], v[1], k) for k, v in agg.items()), reverse=True)
+    total_ms = best_tot / 1e9
+    print(f"# device plane {pname!r} line {lname!r}: "
+          f"{total_ms:.3f} ms / {args.k} steps = "
+          f"{total_ms/args.k:.3f} ms/step device-op time",
+          file=sys.stderr, flush=True)
+
+    buckets = collections.defaultdict(float)
+    for dur, _, name in rows:
+        buckets[bucket_of(name)] += dur / 1e9
+    out = ["what,name,ms_per_step,count,pct_of_device"]
+    for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        out.append(f"bucket,{b},{ms/args.k:.4f},,"
+                   f"{100*ms*1e9/best_tot:.1f}")
+    for dur, cnt, name in rows[:args.top]:
+        nm = name.replace(",", ";")
+        out.append(f"op,{nm},{dur/1e9/args.k:.4f},{cnt},"
+                   f"{100*dur/best_tot:.1f}")
+    text = "\n".join(out)
+    print(text, flush=True)
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write(text + "\n")
+
+
+if __name__ == "__main__":
+    main()
