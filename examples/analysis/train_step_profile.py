@@ -30,6 +30,14 @@ import time
 sys.path.append(".")
 
 import jax
+
+# --cpu must take effect BEFORE any backend touch: JAX_PLATFORM_NAME is
+# unreliable in this image (the site config pre-seeds jax_platforms=
+# axon,cpu and the axon plugin still initializes — CLAUDE.md session-h).
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +113,11 @@ def aggregate(logdir):
         for line in plane.lines:
             agg = collections.defaultdict(lambda: [0, 0])
             for ev in line.events:
+                # C++-scoped names (ThunkExecutor::Execute, ...) are infra
+                # wrappers that double-count the HLO ops nested under them;
+                # HLO op names never contain '::'.
+                if "::" in ev.name:
+                    continue
                 # duration_ps preferred; fall back to (end - start) ns.
                 dur = getattr(ev, "duration_ps", None)
                 if dur is None:
@@ -139,8 +152,12 @@ def main():
         B.DROPOUT_FUSED_DRAW = False
     # TWO warm dispatches (first run of a fresh executable costs ~23 s of
     # remote load through the tunnel — CLAUDE.md).
+    print("# built; compiling + warm dispatch 1...", file=sys.stderr,
+          flush=True)
     run()
+    print("# warm dispatch 2...", file=sys.stderr, flush=True)
     run()
+    print("# tracing...", file=sys.stderr, flush=True)
     tic = time.perf_counter()
     with jax.profiler.trace(args.logdir):
         run()
@@ -170,8 +187,23 @@ def main():
             if tot > best_tot:
                 best, best_tot = (pname, lname), tot
     if best is None:
-        raise SystemExit("no device plane found — profiler recorded host "
-                         "events only (axon tunnel limitation?)")
+        # CPU backend (and possibly the axon tunnel) records XLA op events
+        # under a host plane line named tf_XLAEigen/... instead of a device
+        # plane. Fall back to the busiest XLA-named host line so the table
+        # still lands; mark provenance so readers know it's host-side.
+        for pname_, lines in planes.items():
+            for lname_, agg in lines.items():
+                if "XLA" not in lname_ or "PjRt" in lname_:
+                    continue
+                tot = sum(v[0] for v in agg.values())
+                if tot > best_tot:
+                    best, best_tot = (pname_, lname_), tot
+        if best is None:
+            raise SystemExit("no device plane found — profiler recorded "
+                             "host events only (axon tunnel limitation?)")
+        print("# WARNING: no device plane; using host-side XLA op line "
+              "(CPU-backend layout) — durations are host-thread times",
+              file=sys.stderr, flush=True)
     pname, lname = best
     agg = planes[pname][lname]
     rows = sorted(((v[0], v[1], k) for k, v in agg.items()), reverse=True)
