@@ -41,13 +41,9 @@ if [ ! -s docs/train_step_profile_r5.csv ]; then
   echo "[postq] profile_base done rc=$?" >> "$LOG/postq.log"
 fi
 
-if [ ! -s docs/train_step_profile_r5_fused.csv ]; then
-  gate && timeout 3600 python examples/analysis/train_step_profile.py \
-      --prng rbg --fused-dropout --csv docs/train_step_profile_r5_fused.csv \
-      --logdir "$LOG/profile_fused" \
-      > "$LOG/profile_fused.out" 2> "$LOG/profile_fused.err"
-  echo "[postq] profile_fused done rc=$?" >> "$LOG/postq.log"
-fi
+# (stage 3, profiling --fused-dropout, was dropped: the A/B in
+# dropout_fused.csv showed the fused draw LOSES — threefry 11.12->14.26,
+# rbg 9.42->9.63 ms/step — so there is nothing to profile.)
 
 if [ ! -s "$LOG/bench_r5_preview.json" ]; then
   gate && timeout 5400 python bench.py \

@@ -42,20 +42,32 @@ import jax.numpy as jnp
 import numpy as np
 
 BUCKETS = [
-    ("conv", re.compile(r"conv|dot", re.I)),
-    ("dropout-rng", re.compile(r"rng|bitcast-convert|threefry|philox|erf_inv",
-                               re.I)),
-    ("bn-stats", re.compile(r"batch-norm|variance|divide|rsqrt", re.I)),
+    ("conv", re.compile(r"conv(?!ert)|dot", re.I)),
+    ("dropout-rng", re.compile(r"rng|threefry|philox|erf_inv", re.I)),
+    ("bn-stats", re.compile(r"batch-norm|variance|rsqrt", re.I)),
     ("pool", re.compile(r"reduce-window|select-and-scatter|scatter", re.I)),
     ("copy-reshape", re.compile(r"copy|transpose|reshape|concatenate|slice|"
-                                r"pad|dynamic-update", re.I)),
-    ("reduce", re.compile(r"reduce|all-reduce", re.I)),
+                                r"pad|bitcast|dynamic-update", re.I)),
+    # On this TPU backend the convolutions lower to %custom-call ops that
+    # live INSIDE kOutput fusions, so named fusions carry the MXU work —
+    # "fusion" buckets here are compute, not glue; copy-reshape is the
+    # pure-data-movement bucket.
+    ("reduce-fusion", re.compile(r"reduce", re.I)),
+    ("compute-fusion", re.compile(r"fusion|add|multiply|maximum|select|"
+                                  r"convert|subtract|divide", re.I)),
 ]
 
 
 def bucket_of(name):
+    # Classify by the op's OWN name only (the part before ' = ') — the
+    # full signature lists operand producers (%copy-done.458, ...), which
+    # mis-bucketed conv-bearing fusions as copy-reshape in the first r5
+    # capture. HLO op names encode the fused leads
+    # (multiply_reduce_fusion, maximum_convert_fusion, ...).
+    own = name.split(" = ")[0].lstrip("%")
+    own = re.sub(r"\.\d+$", "", own)
     for b, pat in BUCKETS:
-        if pat.search(name):
+        if pat.search(own):
             return b
     return "other"
 
@@ -118,6 +130,12 @@ def aggregate(logdir):
                 # HLO op names never contain '::'.
                 if "::" in ev.name:
                     continue
+                # %while.N wrapper events span the entire scan loop and
+                # double-count every op nested under them (measured: one
+                # %while = 75.4 ms on a 75.8 ms module — exactly the sum
+                # of the n=8 per-step events beside it).
+                if ev.name.startswith("%while"):
+                    continue
                 # duration_ps preferred; fall back to (end - start) ns.
                 dur = getattr(ev, "duration_ps", None)
                 if dur is None:
@@ -141,30 +159,33 @@ def main():
     ap.add_argument("--logdir", default="/tmp/dc_profile")
     ap.add_argument("--csv", default="")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip running; re-parse an existing --logdir trace")
     args = ap.parse_args()
 
-    from deepcalcium_tpu.models import blocks as B
-    B.DROPOUT_FUSED_DRAW = args.fused_dropout
-    try:
-        run = build_dispatch(args.batch, args.win, args.k, args.prng,
-                             nfb=args.nfb)
-    finally:
-        B.DROPOUT_FUSED_DRAW = False
-    # TWO warm dispatches (first run of a fresh executable costs ~23 s of
-    # remote load through the tunnel — CLAUDE.md).
-    print("# built; compiling + warm dispatch 1...", file=sys.stderr,
-          flush=True)
-    run()
-    print("# warm dispatch 2...", file=sys.stderr, flush=True)
-    run()
-    print("# tracing...", file=sys.stderr, flush=True)
-    tic = time.perf_counter()
-    with jax.profiler.trace(args.logdir):
+    if not args.parse_only:
+        from deepcalcium_tpu.models import blocks as B
+        B.DROPOUT_FUSED_DRAW = args.fused_dropout
+        try:
+            run = build_dispatch(args.batch, args.win, args.k, args.prng,
+                                 nfb=args.nfb)
+        finally:
+            B.DROPOUT_FUSED_DRAW = False
+        # TWO warm dispatches (first run of a fresh executable costs ~23 s
+        # of remote load through the tunnel — CLAUDE.md).
+        print("# built; compiling + warm dispatch 1...", file=sys.stderr,
+              flush=True)
         run()
-    wall = time.perf_counter() - tic
-    print(f"# traced dispatch wall={wall*1e3:.1f} ms "
-          f"({wall/args.k*1e3:.2f} ms/step incl. dispatch overhead)",
-          file=sys.stderr, flush=True)
+        print("# warm dispatch 2...", file=sys.stderr, flush=True)
+        run()
+        print("# tracing...", file=sys.stderr, flush=True)
+        tic = time.perf_counter()
+        with jax.profiler.trace(args.logdir):
+            run()
+        wall = time.perf_counter() - tic
+        print(f"# traced dispatch wall={wall*1e3:.1f} ms "
+              f"({wall/args.k*1e3:.2f} ms/step incl. dispatch overhead)",
+              file=sys.stderr, flush=True)
 
     planes = aggregate(args.logdir)
     # Diagnose what the plugin actually recorded.
@@ -174,7 +195,11 @@ def main():
             print(f"# plane={pname!r} line={lname!r} events={len(agg)} "
                   f"total={tot:.3f} ms", file=sys.stderr, flush=True)
 
-    # Device plane = the non-host plane with the largest op total.
+    # Device plane = the non-host plane with the largest *synchronous* op
+    # total. 'Async XLA Ops' events span their whole async window and
+    # overlap compute — summing them reads 8-9x the wall step (this
+    # produced a bogus 81.5 ms/step copy bucket in the first r5 capture);
+    # skip any Async line outright.
     def is_host(n):
         return "Host" in n or "host" in n or "python" in n.lower()
 
@@ -183,6 +208,8 @@ def main():
         if is_host(pname):
             continue
         for lname, agg in lines.items():
+            if "Async" in lname or "XLA Ops" not in lname:
+                continue
             tot = sum(v[0] for v in agg.values())
             if tot > best_tot:
                 best, best_tot = (pname, lname), tot
@@ -212,13 +239,35 @@ def main():
           f"{total_ms:.3f} ms / {args.k} steps = "
           f"{total_ms/args.k:.3f} ms/step device-op time",
           file=sys.stderr, flush=True)
+    # Cross-check: the XLA Modules line is the wall device time of the
+    # whole dispatch; after dropping the %while wrapper, the op sum must
+    # land within ~5% of it or the attribution is double- or under-
+    # counting something.
+    mod_lines = planes.get(pname, {})
+    mod_tot = sum(v[0] for ln, ag in mod_lines.items()
+                  if "Modules" in ln for v in ag.values())
+    if mod_tot:
+        ratio = best_tot / mod_tot
+        print(f"# cross-check: ops/modules = {ratio:.3f} "
+              f"(modules {mod_tot/1e9:.3f} ms)", file=sys.stderr, flush=True)
+        if not 0.90 <= ratio <= 1.05:
+            print(f"# WARNING: op sum is {ratio:.2f}x the module wall — "
+                  "attribution suspect", file=sys.stderr, flush=True)
 
     buckets = collections.defaultdict(float)
+    prefixes = collections.defaultdict(float)
     for dur, _, name in rows:
         buckets[bucket_of(name)] += dur / 1e9
+        own = re.sub(r"\.\d+$", "", name.split(" = ")[0].lstrip("%"))
+        prefixes[own] += dur / 1e9
     out = ["what,name,ms_per_step,count,pct_of_device"]
     for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
         out.append(f"bucket,{b},{ms/args.k:.4f},,"
+                   f"{100*ms*1e9/best_tot:.1f}")
+    for p, ms in sorted(prefixes.items(), key=lambda kv: -kv[1]):
+        if ms * 1e9 / best_tot < 0.005:
+            break
+        out.append(f"prefix,{p},{ms/args.k:.4f},,"
                    f"{100*ms*1e9/best_tot:.1f}")
     for dur, cnt, name in rows[:args.top]:
         nm = name.replace(",", ";")
