@@ -370,6 +370,12 @@ def dropout(x, rate: float, train: bool, key):
 # random-bits kernel + seven slice/compares vs seven independent draws,
 # each a potential fusion boundary in the backward graph. Read at TRACE
 # time, like DROPOUT_REMAT_BWD.
+#
+# VERDICT (round 5, measured — .round5_logs/dropout_fused.csv and
+# docs/VALIDATION.md §one-draw fused dropout): LOSES. threefry
+# 11.12->14.26 ms/step (+28%: the one giant draw serializes ahead of the
+# step and its slices break backward fusions), rbg 9.42->9.63 (+2%).
+# Default stays False; the PRNG impl (rbg preset) is the real lever.
 DROPOUT_FUSED_DRAW = False
 
 
