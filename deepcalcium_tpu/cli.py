@@ -124,7 +124,7 @@ def cmd_evaluate(args):
 # (/root/reference/README.md:29-37). So 0.976/0.988 is the WITH-TTA
 # score and 0.919/0.958 the no-TTA score. (Rounds 1-4 had these swapped
 # — a SURVEY.md misreading of the loop order, fixed in round 5 and
-# pinned by tests/test_cli.py::test_parity_golden_label_mapping.)
+# pinned by tests/test_cli_movie.py::test_parity_golden_label_mapping.)
 _GOLDEN_TTA = (0.976, 1.000, 0.988)  # prec, reca, comb
 _GOLDEN_NO_TTA = (0.919, 1.000, 0.958)
 

@@ -610,9 +610,18 @@ class UNet2DSummary:
             # Frames exceed the inference window: sliding-window tiled
             # evaluate (streaming summary; only tile batches reach the
             # device) — the fused single-window evaluator can't pad DOWN.
+            # Probe-and-pass-down like the streaming branch below: the
+            # summary fold's route must come from one probe reading.
+            backend, probe_mbps = auto_backend()
+            if backend == "host":
+                logger.info(
+                    "oversized host movie behind a thin link (probe "
+                    "%.0f MB/s): host summary fold + tiled forward",
+                    probe_mbps)
             mask, prob, _ = evaluate_movie_tiled(
                 apply_fn, params, state, np.asarray(movie),
-                window=window_shape, tta=tta, threshold=threshold, mesh=mesh)
+                window=window_shape, tta=tta, threshold=threshold, mesh=mesh,
+                backend=backend)
             return mask, prob
         if isinstance(movie, np.ndarray):
             backend, probe_mbps = auto_backend()
@@ -673,7 +682,19 @@ class UNet2DSummary:
         hw, ww = window_shape
         fits = [s.shape[0] <= hw and s.shape[1] <= ww for s in S]
         predictor = predict_tta if augmentation else predict_batched
-        nviews = len(S) * (8 if augmentation else 1)
+
+        def ntiles(s):
+            """Window-sized forwards an image costs: 1 in-window, else the
+            tiled path's grid count (keeps the views/s log honest — an
+            oversized image is ntiles forwards, not 1)."""
+            if s.shape[0] <= hw and s.shape[1] <= ww:
+                return 1
+            ov = min(64, min(hw, ww) // 2)
+            ny = -(-max(s.shape[0] - hw, 0) // max(hw - ov, 1)) + 1
+            nx = -(-max(s.shape[1] - ww, 0) // max(ww - ov, 1)) + 1
+            return ny * nx
+
+        nviews = sum(ntiles(s) for s in S) * (8 if augmentation else 1)
         with phase_timer("predict_forward", items=nviews, unit="views"):
             small = [s for s, f in zip(S, fits) if f]
             small_probs = iter(

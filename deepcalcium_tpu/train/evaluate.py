@@ -195,28 +195,35 @@ def evaluate_movie_streaming(apply_fn, params, state, movie,
         (mask uint8 (H, W), prob float32 (H, W), mean float32 (H, W))
         as host arrays.
     """
-    from deepcalcium_tpu.ops.summary import StreamingSummary
-
-    t = movie.shape[0]
+    mean = _streaming_mean(movie, chunk, backend)
     h, w = movie.shape[1:]
-    dtype = np.asarray(movie[0:1]).dtype
-    # track_max=False: the evaluate path needs only the mean image, and the
-    # max projection would cost a second full per-frame pass on the host.
-    ss = StreamingSummary((h, w), dtype=dtype, backend=backend,
-                          track_max=False)
-    for i in range(0, t, chunk):
-        ss.update(np.asarray(movie[i : i + chunk]))
-    mean, _ = ss.result()
-
     ev = make_summary_evaluator(apply_fn, (h, w), window=window, tta=tta,
                                 threshold=threshold, mesh=mesh)
     mask, prob = ev(params, state, jnp.asarray(mean))
     return np.asarray(mask), np.asarray(prob), mean
 
 
+def _streaming_mean(movie, chunk, backend):
+    """Fold a host-resident (T, H, W) movie to its mean image through
+    :class:`StreamingSummary` in ``chunk``-frame slabs. track_max=False:
+    the evaluate paths need only the mean image, and the max projection
+    would cost a second full per-frame pass on the host."""
+    from deepcalcium_tpu.ops.summary import StreamingSummary
+
+    t = movie.shape[0]
+    h, w = movie.shape[1:]
+    dtype = np.asarray(movie[0:1]).dtype
+    ss = StreamingSummary((h, w), dtype=dtype, backend=backend,
+                          track_max=False)
+    for i in range(0, t, chunk):
+        ss.update(np.asarray(movie[i : i + chunk]))
+    mean, _ = ss.result()
+    return mean
+
+
 def evaluate_movie_tiled(apply_fn, params, state, movie, window=(512, 512),
                          tta=True, threshold=0.5, overlap=None, mesh=None,
-                         max_batch=None, chunk=256):
+                         max_batch=None, chunk=256, backend="auto"):
     """Evaluate a movie whose frames EXCEED the inference window (a
     beyond-reference capability — the reference asserts 512² fields of
     view, ``unet_2d_summary.py:565-566``): streaming mean summary ->
@@ -231,16 +238,9 @@ def evaluate_movie_tiled(apply_fn, params, state, movie, window=(512, 512),
         (mask uint8 (H, W), prob float32 (H, W), mean float32 (H, W))
         as host arrays.
     """
-    from deepcalcium_tpu.ops.summary import StreamingSummary
     from deepcalcium_tpu.train.trainer import make_eval_forward
 
-    t = movie.shape[0]
-    h, w = movie.shape[1:]
-    dtype = np.asarray(movie[0:1]).dtype
-    ss = StreamingSummary((h, w), dtype=dtype, track_max=False)
-    for i in range(0, t, chunk):
-        ss.update(np.asarray(movie[i : i + chunk]))
-    mean, _ = ss.result()
+    mean = _streaming_mean(movie, chunk, backend)
     # Same z-norm semantics as _image_eval_body (subnormal-scale floor so a
     # constant movie yields z=0, not NaN probs), on host.
     z = (mean - np.mean(mean)) / max(float(np.std(mean)), 1e-12)
@@ -327,6 +327,14 @@ def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=None,
     """
     img = np.asarray(img, np.float32)
     hw, ww = window
+    if max_batch is None:
+        # Cap the compiled slab at a fixed 16 windows: without a cap the
+        # batch dim is (8*)ntiles, so every distinct field-of-view
+        # geometry re-specializes the full forward (~25-200 s through the
+        # remote compile service) and a big movie ships one giant view
+        # slab through the ~250 MB/s tunnel. A fixed slab compiles once
+        # and streams; the ragged tail is zero-padded by _run_batched.
+        max_batch = 16
     if overlap is None:
         overlap = min(64, min(hw, ww) // 2)
     if not (0 <= overlap < min(hw, ww)):

@@ -165,23 +165,27 @@ def main():
 
     if not args.parse_only:
         from deepcalcium_tpu.models import blocks as B
+        # The flag is read at TRACE time, and jax.jit traces lazily at the
+        # FIRST run() — so it must stay set through every dispatch below,
+        # not just through build_dispatch (resetting it right after build
+        # would silently profile the non-fused graph).
         B.DROPOUT_FUSED_DRAW = args.fused_dropout
         try:
             run = build_dispatch(args.batch, args.win, args.k, args.prng,
                                  nfb=args.nfb)
+            # TWO warm dispatches (first run of a fresh executable costs
+            # ~23 s of remote load through the tunnel — CLAUDE.md).
+            print("# built; compiling + warm dispatch 1...", file=sys.stderr,
+                  flush=True)
+            run()
+            print("# warm dispatch 2...", file=sys.stderr, flush=True)
+            run()
+            print("# tracing...", file=sys.stderr, flush=True)
+            tic = time.perf_counter()
+            with jax.profiler.trace(args.logdir):
+                run()
         finally:
             B.DROPOUT_FUSED_DRAW = False
-        # TWO warm dispatches (first run of a fresh executable costs ~23 s
-        # of remote load through the tunnel — CLAUDE.md).
-        print("# built; compiling + warm dispatch 1...", file=sys.stderr,
-              flush=True)
-        run()
-        print("# warm dispatch 2...", file=sys.stderr, flush=True)
-        run()
-        print("# tracing...", file=sys.stderr, flush=True)
-        tic = time.perf_counter()
-        with jax.profiler.trace(args.logdir):
-            run()
         wall = time.perf_counter() - tic
         print(f"# traced dispatch wall={wall*1e3:.1f} ms "
               f"({wall/args.k*1e3:.2f} ms/step incl. dispatch overhead)",

@@ -98,6 +98,44 @@ def make_hard_fixtures(n, out_dir, seed=865):
     return paths
 
 
+def load_rows(path):
+    """Read a results CSV, dropping malformed trailing rows (a VM
+    restart racing the CSV snapshotter can commit a torn last line —
+    ADVICE r4). A mid-line tear isn't always detectable from parsed
+    fields (a 'seconds' value cut from '123.4' to '1' still parses),
+    so first drop any final line that lacks its newline terminator,
+    then keep rows up to the first one with missing fields or an
+    unparseable score — the RNG replay in --resume stays aligned
+    with the row count."""
+    import io
+    with open(path, newline="") as fp:
+        text = fp.read()
+    if text and not text.endswith("\n"):
+        text = text[:text.rfind("\n") + 1] if "\n" in text else ""
+    rows = []
+    for r in csv.DictReader(io.StringIO(text)):
+        try:
+            if any(v is None for v in r.values()) or None in r:
+                break
+            float(r["val_nf_f1_mean"])  # 'nan' parses; torn text won't
+        except (ValueError, KeyError):
+            break
+        rows.append(r)
+    return rows
+
+
+def write_rows(path, rows):
+    """Atomic tmp+rename rewrite: the snapshotter (and a VM restart)
+    can race a truncate-in-place 'w' rewrite and capture a header-only
+    or rows-missing file — same invariant as checkpoints."""
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="") as fp:
+        w = csv.DictWriter(fp, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    os.replace(tmp, path)
+
+
 def main():
     from deepcalcium_tpu.data.nf import nf_load_hdf5
     from deepcalcium_tpu.models import unet2d
@@ -187,23 +225,6 @@ def main():
         return {**cfg, "trial": trial, "val_nf_f1_mean": score,
                 "seconds": round(time.time() - t0, 1)}
 
-    def valid_rows(reader):
-        """Drop malformed trailing rows (a VM restart racing the CSV
-        snapshotter can commit a torn last line — ADVICE r4). A torn row
-        shows up as missing fields (DictReader fills None) or an
-        unparseable score; keep everything up to the first bad row so the
-        RNG replay in --resume stays aligned with the row count."""
-        rows = []
-        for r in reader:
-            try:
-                if any(v is None for v in r.values()) or None in r:
-                    break
-                float(r["val_nf_f1_mean"])  # 'nan' parses; torn text won't
-            except (ValueError, KeyError):
-                break
-            rows.append(r)
-        return rows
-
     def coerce(row):
         """CSV round-trip: restore a sampled config's native types."""
         cfg = {}
@@ -215,8 +236,7 @@ def main():
     if args.rerun_top:
         if not args.out:
             ap.error("--rerun-top requires --out (the CSV to rank)")
-        with open(out_csv) as fp:
-            prior = valid_rows(csv.DictReader(fp))
+        prior = load_rows(out_csv)
         ok = [r for r in prior
               if float(r["val_nf_f1_mean"]) == float(r["val_nf_f1_mean"])]
         top = sorted(ok, key=lambda r: -float(r["val_nf_f1_mean"]))
@@ -224,8 +244,7 @@ def main():
         out2 = out_csv[:-4] + f"_top{args.rerun_top}_e{args.epochs}.csv"
         done = []
         if os.path.exists(out2):  # restart-safe: skip re-run trials
-            with open(out2) as fp:
-                done = valid_rows(csv.DictReader(fp))
+            done = load_rows(out2)
         rows = list(done)
         done_trials = {int(r["trial"]) for r in done}
         for r in top:
@@ -234,10 +253,7 @@ def main():
             row = run_cfg(coerce(r), int(r["trial"]), args.epochs,
                           args.steps)
             rows.append(row)
-            with open(out2, "w", newline="") as fp:
-                w = csv.DictWriter(fp, fieldnames=list(rows[0].keys()))
-                w.writeheader()
-                w.writerows(rows)
+            write_rows(out2, rows)
             logging.info("rerun trial %s -> %s", r["trial"],
                          row["val_nf_f1_mean"])
         print("results:", out2)
@@ -246,8 +262,7 @@ def main():
     rows = []
     start = 0
     if args.resume and os.path.exists(out_csv):
-        with open(out_csv) as fp:
-            rows = valid_rows(csv.DictReader(fp))
+        rows = load_rows(out_csv)
         start = len(rows)
         for _ in range(start):  # replay consumed draws -> stream continues
             sample(rng)
@@ -257,10 +272,7 @@ def main():
         cfg = sample(rng)
         row = run_cfg(cfg, trial, args.epochs, args.steps)
         rows.append(row)
-        with open(out_csv, "w", newline="") as fp:
-            w = csv.DictWriter(fp, fieldnames=list(rows[0].keys()))
-            w.writeheader()
-            w.writerows(rows)
+        write_rows(out_csv, rows)
         logging.info("trial %d: %s -> %s", trial, cfg,
                      row["val_nf_f1_mean"])
 

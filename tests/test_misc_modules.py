@@ -71,3 +71,48 @@ def test_slope_train1d_step_time_smoke():
 
     dt = slope_train1d_step_time(2, 64, k=3, kmin=1, reps=1, nfb=4)
     assert np.isfinite(dt)
+
+
+def test_search_csv_torn_row_and_atomic_rewrite(tmp_path):
+    """load_rows must drop a torn final line even when the tear preserves
+    field count and parseability (a 'seconds' value cut mid-digits), and
+    write_rows must replace atomically (tmp+rename) so a snapshotter or a
+    VM restart can never observe a header-only truncation (ADVICE r4 /
+    round-5 review)."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "examples/neurons")
+    try:
+        hs = importlib.import_module("unet2ds_hyperparam_search")
+    finally:
+        _sys.path.pop(0)
+
+    rows = [
+        {"window": "64", "trial": "0", "val_nf_f1_mean": "0.81",
+         "seconds": "123.4"},
+        {"window": "48", "trial": "1", "val_nf_f1_mean": "0.72",
+         "seconds": "456.7"},
+    ]
+    p = tmp_path / "search.csv"
+    hs.write_rows(str(p), rows)
+    assert not (tmp_path / "search.csv.tmp").exists()  # renamed, not left
+    assert hs.load_rows(str(p)) == rows
+
+    # Tear the final line mid-'seconds': same comma count, still parses —
+    # only the missing newline terminator gives it away.
+    text = p.read_text()
+    assert text.endswith("\n")
+    p.write_text(text[: text.rfind("456.7") + 1])  # ...,0.72,4  (no \n)
+    kept = hs.load_rows(str(p))
+    assert kept == rows[:1]
+
+    # A torn line that DOES break field count is also dropped.
+    p.write_text(text + "96,2,0.9")  # missing 'seconds', no newline
+    assert hs.load_rows(str(p)) == rows
+
+    # Header-only and empty files resume from zero, not crash.
+    p.write_text(text.split("\n")[0] + "\n")
+    assert hs.load_rows(str(p)) == []
+    p.write_text("")
+    assert hs.load_rows(str(p)) == []

@@ -554,6 +554,31 @@ def test_predict_tiled_tta_single_tile_matches_predict_tta(tiny_model):
     np.testing.assert_allclose(tiled, ref, atol=1e-6, rtol=0)
 
 
+def test_evaluate_movie_tiled_backend_threading(tiny_model):
+    """The tiled movie evaluator must honor an explicit summary backend
+    (round-5 review: it hardcoded StreamingSummary's default, so the
+    thin-link host routing evaluate_movie probes for could not be forced
+    on the oversized path) and produce the same result either way."""
+    from deepcalcium_tpu.train.evaluate import evaluate_movie_tiled
+
+    init_fn, apply_fn = tiny_model
+    params, state = init_fn(jax.random.PRNGKey(0))
+    movie = np.random.default_rng(11).standard_normal(
+        (12, 96, 130)).astype(np.float32)
+
+    outs = {}
+    for backend in ("host", "device"):
+        mask, prob, mean = evaluate_movie_tiled(
+            apply_fn, params, state, movie, window=(64, 64), tta=False,
+            backend=backend)
+        assert mask.shape == prob.shape == mean.shape == (96, 130)
+        outs[backend] = (mask, prob, mean)
+    np.testing.assert_allclose(outs["host"][2], outs["device"][2],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["host"][1], outs["device"][1],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_predict_public_dispatch_oversized(tmp_path, tiny_model):
     """VERDICT r4 weak #7: oversized fields of view must work through the
     PUBLIC UNet2DSummary.predict — mixed with in-window datasets in one
