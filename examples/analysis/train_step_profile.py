@@ -73,23 +73,45 @@ def bucket_of(name):
 
 
 def build_dispatch(batch, win, k, prng_impl, compute_dtype=jnp.bfloat16,
-                   nfb=32):
-    from deepcalcium_tpu.models import unet2d
-    from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+                   nfb=32, net="unet2d"):
     from deepcalcium_tpu.ops import losses as L
     from deepcalcium_tpu.train import trainer as T
 
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params, state = unet2d.init(jax.random.PRNGKey(0), nfb=nfb)
-    apply_fn = functools.partial(apply_fast_w_train,
-                                 compute_dtype=compute_dtype)
-    optimizer = T.make_optimizer(2e-3)
-    step = T.make_train_step(apply_fn, L.LOSSES["binary_crossentropy"],
-                             optimizer)
-    rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.standard_normal((k, batch, win, win)), jnp.float32)
-    ys = jnp.asarray((rng.random((k, batch, win, win)) < 0.1), jnp.float32)
+    if net == "unet1d":
+        # The 1-D spike step exactly as slope_train1d_step_time /
+        # UNet1DSegmentation.fit dispatch it: wbce(pos=2), margin-4
+        # max-pool head, full SPIKE_METRICS, batch 20 @ 4096 samples.
+        from deepcalcium_tpu.models import unet1d
+
+        with jax.default_device(cpu):
+            params, state = unet1d.init(jax.random.PRNGKey(0), nfb=nfb)
+        apply_fn = functools.partial(unet1d.apply, margin=4,
+                                     compute_dtype=compute_dtype)
+        loss_fn = functools.partial(L.weighted_binary_crossentropy,
+                                    weightpos=2.0)
+        optimizer = T.make_optimizer(2e-3)
+        step = T.make_train_step(apply_fn, loss_fn, optimizer,
+                                 metric_fns=dict(L.SPIKE_METRICS))
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.standard_normal((k, batch, win)), jnp.float32)
+        ys = jnp.asarray(rng.random((k, batch, win)) < 0.01, jnp.float32)
+    else:
+        from deepcalcium_tpu.models import unet2d
+        from deepcalcium_tpu.models.unet2d_fast import apply_fast_w_train
+
+        with jax.default_device(cpu):
+            params, state = unet2d.init(jax.random.PRNGKey(0), nfb=nfb)
+        apply_fn = functools.partial(apply_fast_w_train,
+                                     compute_dtype=compute_dtype)
+        optimizer = T.make_optimizer(2e-3)
+        step = T.make_train_step(apply_fn, L.LOSSES["binary_crossentropy"],
+                                 optimizer)
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.standard_normal((k, batch, win, win)),
+                         jnp.float32)
+        ys = jnp.asarray((rng.random((k, batch, win, win)) < 0.1),
+                         jnp.float32)
     dev = jax.devices()[0]
     p = jax.device_put(params, dev)
     s = jax.device_put(state, dev)
@@ -161,6 +183,8 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--parse-only", action="store_true",
                     help="skip running; re-parse an existing --logdir trace")
+    ap.add_argument("--net", default="unet2d", choices=["unet2d", "unet1d"],
+                    help="unet1d profiles the spike step (pass --win 4096)")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -172,7 +196,7 @@ def main():
         B.DROPOUT_FUSED_DRAW = args.fused_dropout
         try:
             run = build_dispatch(args.batch, args.win, args.k, args.prng,
-                                 nfb=args.nfb)
+                                 nfb=args.nfb, net=args.net)
             # TWO warm dispatches (first run of a fresh executable costs
             # ~23 s of remote load through the tunnel — CLAUDE.md).
             print("# built; compiling + warm dispatch 1...", file=sys.stderr,

@@ -116,3 +116,41 @@ def test_search_csv_torn_row_and_atomic_rewrite(tmp_path):
     assert hs.load_rows(str(p)) == []
     p.write_text("")
     assert hs.load_rows(str(p)) == []
+
+
+def test_train_step_profile_bucket_classification():
+    """The trace profiler must classify ops by their OWN name, not the
+    full HLO signature: operand lists name their producers (%copy-done,
+    %reshape, ...), which mis-bucketed conv-bearing fusions as
+    copy-reshape in the first round-5 capture (98.4% 'copy' on a step
+    that is 73% MXU fusions)."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "examples/analysis")
+    try:
+        tsp = importlib.import_module("train_step_profile")
+    finally:
+        _sys.path.pop(0)
+
+    # A conv-bearing kOutput fusion whose OPERANDS are copies/reshapes —
+    # must NOT land in copy-reshape.
+    fusion = ("%fusion.1461 = f32[3;3;128;128]{3;2;1;0} fusion("
+              "bf16[20;128;32;128] %copy-done.111, bf16[128] %reshape.8492)"
+              "; kind=kOutput; calls=%fused_computation.752")
+    assert tsp.bucket_of(fusion) == "compute-fusion"
+    assert tsp.bucket_of(
+        "%multiply_reduce_fusion.107 = (bf16[128]) fusion(%copy.1396)"
+    ) == "reduce-fusion"
+    assert tsp.bucket_of(
+        "%copy.1385 = f32[20;128;32;128] copy(f32 %maximum_convert_fusion.2)"
+    ) == "copy-reshape"
+    assert tsp.bucket_of("%convolution.42 = bf16[1] convolution(...)") \
+        == "conv"
+    # convert must not match the conv pattern (conv(?!ert)).
+    assert tsp.bucket_of("%convert_element_type.3 = f32[1] convert(...)") \
+        == "compute-fusion"
+    assert tsp.bucket_of("%rng-bit-generator.24 = u32[1] rng(...)") \
+        == "dropout-rng"
+    assert tsp.bucket_of("%dynamic-update-slice.1377 = ... "
+                         "dynamic-update-slice(...)") == "copy-reshape"
