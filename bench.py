@@ -220,12 +220,19 @@ def main():
     # windows of 4096 samples, wbce(pos=2), margin 4, bf16, full metrics
     # (reference hot loop: unet_1d_segmentation.py:300-302).
     from deepcalcium_tpu.models import unet1d
-    from deepcalcium_tpu.utils.benchtools import slope_train1d_step_time
+    from deepcalcium_tpu.utils.benchtools import slope_train1d_step_time_ab
 
     t1b, t1w = 20, 4096
-    dt_train1d = slope_train1d_step_time(t1b, t1w)
+    # Parity default (threefry) vs the perf preset's rbg dropout PRNG,
+    # interleaved like the 2-D A/B (the round-5 measurement: 6.69 vs
+    # 5.65 ms/step, −15%; .round5_logs/train1d_prng_ab.csv).
+    ab1d = slope_train1d_step_time_ab(t1b, t1w,
+                                      rng_impls=("threefry2x32", "rbg"))
+    dt_train1d, dt_train1d_perf = ab1d["threefry2x32"], ab1d["rbg"]
+    train1d_perf_inverted = bool(dt_train1d_perf >= dt_train1d)
     train1d_flops = 3 * t1b * unet1d.forward_flops(t1w, nfb=32)
     train1d_tflops = train1d_flops / dt_train1d / 1e12
+    train1d_perf_tflops = train1d_flops / dt_train1d_perf / 1e12
 
     fps = t / dt
     flops = 8 * unet2d.forward_flops(512, 512, nfb=32)  # 8 TTA views
@@ -275,6 +282,11 @@ def main():
         "train1d_flops_per_step": train1d_flops,
         "train1d_tflops_per_sec": round(train1d_tflops, 1),
         "train1d_mfu": round(train1d_tflops / PEAK_TFLOPS, 4),
+        # 1-D perf preset (fit(preset='perf') / dc-tpu spikes-train
+        # --preset perf: rbg dropout PRNG), interleaved with parity.
+        "train1d_perf_step_ms": round(dt_train1d_perf * 1e3, 2),
+        "train1d_perf_mfu": round(train1d_perf_tflops / PEAK_TFLOPS, 4),
+        "train1d_perf_inverted": train1d_perf_inverted,
     }))
 
 

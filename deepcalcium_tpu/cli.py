@@ -238,7 +238,8 @@ def cmd_spikes_train(args):
                     nb_epochs=args.epochs,
                     steps_per_dispatch=args.steps_per_dispatch,
                     weight_decay=args.weight_decay,
-                    prng_impl=args.prng_impl)
+                    prng_impl=args.prng_impl,
+                    preset=args.preset)
     print(out if args.val_type == "cross_validate" else f"best: {out[2]}")
 
 
@@ -445,6 +446,11 @@ def build_parser():
     p.add_argument("--prng-impl", default="threefry2x32",
                    choices=["threefry2x32", "rbg"],
                    help="dropout PRNG (unet1d only)")
+    p.add_argument("--preset", default=None, choices=["parity", "perf"],
+                   help="recipe bundle (unet1d only): 'perf' = rbg dropout "
+                        "PRNG + auto K-step dispatch (-15%% device step, "
+                        "round-5 A/B); overrides --prng-impl/"
+                        "--steps-per-dispatch")
     p.set_defaults(func=cmd_spikes_train)
 
     p = sp.add_parser("spikes-predict", help="Predict spikes on datasets.")

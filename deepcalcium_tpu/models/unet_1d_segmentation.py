@@ -128,7 +128,7 @@ class UNet1DSegmentation:
             nb_epochs=20, val_type="random_split", prop_trn=0.8, prop_val=0.2,
             nb_folds=5, learning_rate=2e-3, seed=865, mesh=None,
             steps_per_dispatch=1, weight_decay=0.0,
-            prng_impl="threefry2x32"):
+            prng_impl="threefry2x32", preset=None):
         """Train; returns (metrics_trn, metrics_val, best_model_path) for
         random_split, or aggregated fold metrics for cross_validate.
 
@@ -146,6 +146,16 @@ class UNet1DSegmentation:
         high-latency dispatch path per-step dispatch dominates the
         millisecond device step). Must divide the per-epoch step count
         ``ceil(n_train_traces / batch)``. Semantically identical to K=1.
+
+        ``preset``: one-flag recipe bundles mirroring the 2-D ``fit``:
+        ``None``/``"parity"`` = the reference-faithful defaults above;
+        ``"perf"`` = the measured throughput configuration —
+        ``prng_impl='rbg'`` (the interleaved round-5 A/B measures the
+        1-D device step at 5.65 vs 6.69 ms threefry, −15%;
+        ``.round5_logs/train1d_prng_ab.csv``) plus the largest
+        ``steps_per_dispatch`` of (4, 2, 1) that divides each split's
+        per-epoch step count. The preset OVERRIDES
+        ``prng_impl``/``steps_per_dispatch`` and logs the deviation.
         """
         logger = logging.getLogger(funcname())
         # ValueError, not assert: user-facing knob validation must survive
@@ -160,6 +170,16 @@ class UNet1DSegmentation:
         if abs(prop_trn + prop_val - 1.0) > 1e-9:
             raise ValueError(f"prop_trn + prop_val must be 1, got "
                              f"{prop_trn} + {prop_val}")
+        if preset not in (None, "parity", "perf"):
+            raise ValueError(f"preset={preset!r}: expected None, 'parity' "
+                             f"or 'perf'")
+        if preset == "perf":
+            prng_impl = "rbg"
+            steps_per_dispatch = 0  # sentinel: per-split auto-K below
+            logger.info(
+                "preset='perf': prng_impl='rbg' (TPU-vectorized dropout "
+                "stream — score-equivalent but a DIFFERENT random sequence "
+                "than the threefry default) + auto K-step scan dispatch")
 
         traces = [t for p in dataset_paths for t in self.dataset_traces_func(p)]
         spikes = [s for p in dataset_paths for s in self.dataset_spikes_func(p)]
@@ -235,6 +255,13 @@ class UNet1DSegmentation:
         tr_val = [traces[i] for i in idxs_val]
         sp_val = [spikes[i] for i in idxs_val]
         steps_trn = int(ceil(len(tr_trn) / batch))
+        if kdisp == 0:
+            # preset='perf' sentinel: the largest supported K that divides
+            # THIS split's per-epoch step count (cross-validation folds can
+            # differ in size, so the choice is per-split, not per-fit).
+            kdisp = next(kk for kk in (4, 2, 1) if steps_trn % kk == 0)
+            logger.info("preset='perf': steps_per_dispatch=%d "
+                        "(steps_trn=%d)", kdisp, steps_trn)
         # ValueError, not assert: user-facing knob validation must survive
         # python -O (a stripped assert would silently train fewer steps).
         if kdisp < 1 or steps_trn % kdisp != 0:

@@ -113,6 +113,52 @@ def test_fit_k_step_dispatch(tmp_path, caplog):
     assert any("T-packed" in r.message for r in caplog.records)
 
 
+def test_fit_preset_perf(tmp_path, caplog):
+    """preset='perf' = rbg dropout PRNG + auto K-scan (the measured 1-D
+    throughput recipe, round-5 A/B: 5.65 vs 6.69 ms/step on v5e). The
+    preset must resolve K to the largest of (4, 2, 1) dividing the
+    split's per-epoch step count — here 16*0.8=12 train traces / batch 8
+    -> 2 steps/epoch -> K=2 — and train to finite metrics."""
+    import functools
+    import logging
+
+    paths = [make_spikes_hdf5(str(tmp_path / f"sp{i}.hdf5"),
+                              name=f"spikes.{i}", nb_traces=8, trace_len=256,
+                              seed=20 + i) for i in range(2)]
+    model = UNet1DSegmentation(
+        cpdir=str(tmp_path / "cp"),
+        net_init_func=functools.partial(unet1d.init, nfb=4))
+    with caplog.at_level(logging.INFO):
+        mt, mv, best = model.fit(paths, shape=(128,), error_margin=4,
+                                 batch=8, nb_epochs=1,
+                                 val_type="random_split", seed=3,
+                                 preset="perf")
+    assert best is not None
+    assert all(np.isfinite(v) for v in mv.values())
+    msgs = [r.message for r in caplog.records]
+    assert any("prng_impl='rbg'" in m for m in msgs)
+    assert any("steps_per_dispatch=2" in m for m in msgs)
+
+    with pytest.raises(ValueError, match="preset"):
+        model.fit(paths, shape=(128,), error_margin=4, batch=8, nb_epochs=1,
+                  val_type="random_split", seed=3, preset="fastest")
+
+
+def test_slope_train1d_ab_helper_cpu():
+    """The interleaved 1-D A/B timer returns one positive per-step time
+    per PRNG impl from ONE shared setup (tiny shapes; numerics-only —
+    real timings are tunnel-measured in bench.py)."""
+    from deepcalcium_tpu.utils.benchtools import slope_train1d_step_time_ab
+
+    out = slope_train1d_step_time_ab(2, 64, k=3, kmin=1, reps=1, nfb=4,
+                                     rng_impls=("threefry2x32", "rbg"))
+    assert set(out) == {"threefry2x32", "rbg"}
+    # CPU timings are noise; the contract is presence + sane type. A
+    # negative slope is possible in noise at reps=1, so only finiteness
+    # is asserted.
+    assert all(np.isfinite(v) for v in out.values())
+
+
 def test_fit_cross_validate(tmp_path):
     import functools
 

@@ -117,6 +117,12 @@ def test_cli_train_perf_knobs_parse():
                        "2", "--weight-decay", "1e-5", "--prng-impl", "rbg"])
     assert (a.steps_per_dispatch, a.weight_decay, a.prng_impl) == (
         2, 1e-5, "rbg")
+    # Round-5 1-D preset bundle (mirrors the 2-D train --preset).
+    assert a.preset is None
+    a = ap.parse_args(["spikes-train", "sp.hdf5", "--preset", "perf"])
+    assert a.preset == "perf"
+    with pytest.raises(SystemExit):
+        ap.parse_args(["spikes-train", "sp.hdf5", "--preset", "fast"])
     # Round-4 preset bundle: default None (parity behavior), 'perf'
     # accepted, anything else a clean usage error.
     a = ap.parse_args(["train", "all_train"])
