@@ -14,10 +14,21 @@ gate() {
 }
 
 if [ ! -s "$LOG/train1d_prng_ab.csv" ]; then
-  gate && timeout 3600 python -u "$LOG/train1d_prng_ab.py" \
-      > "$LOG/train1d_prng_ab.csv.part" 2> "$LOG/train1d_prng_ab.err" \
-    && mv "$LOG/train1d_prng_ab.csv.part" "$LOG/train1d_prng_ab.csv"
-  echo "[r5b] train1d_prng_ab done rc=$?" >> "$LOG/r5b.log"
+  if gate; then
+    timeout 3600 python -u "$LOG/train1d_prng_ab.py" \
+        > "$LOG/train1d_prng_ab.csv.part" 2> "$LOG/train1d_prng_ab.err" \
+      && mv "$LOG/train1d_prng_ab.csv.part" "$LOG/train1d_prng_ab.csv"
+    echo "[r5b] train1d_prng_ab done rc=$?" >> "$LOG/r5b.log"
+  else
+    echo "[r5b] gate failed (tunnel never healthy) — A/B NOT run" \
+        >> "$LOG/r5b.log"
+  fi
 fi
 
-echo "[r5b] complete" >> "$LOG/r5b.log"
+# "complete" only when the artifact actually exists — a failed gate or
+# measurement must not read as success after a VM restart.
+if [ -s "$LOG/train1d_prng_ab.csv" ]; then
+  echo "[r5b] complete" >> "$LOG/r5b.log"
+else
+  echo "[r5b] exiting WITHOUT artifact" >> "$LOG/r5b.log"
+fi

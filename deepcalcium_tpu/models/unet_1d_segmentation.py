@@ -175,12 +175,17 @@ class UNet1DSegmentation:
                              f"or 'perf'")
         if preset == "perf":
             prng_impl = "rbg"
-            steps_per_dispatch = 0  # sentinel: per-split auto-K below
+            # None = per-split auto-K sentinel. Deliberately NOT a user-
+            # reachable int: fit(steps_per_dispatch=0) must keep raising
+            # ValueError, not silently activate the preset's auto-K.
+            steps_per_dispatch = None
             logger.info(
                 "preset='perf': prng_impl='rbg' (TPU-vectorized dropout "
                 "stream — score-equivalent but a DIFFERENT random sequence "
                 "than the threefry default) + auto K-step scan dispatch")
 
+        kdisp_arg = (None if steps_per_dispatch is None
+                     else int(steps_per_dispatch))
         traces = [t for p in dataset_paths for t in self.dataset_traces_func(p)]
         spikes = [s for p in dataset_paths for s in self.dataset_spikes_func(p)]
         assert len(traces) == len(spikes)
@@ -198,7 +203,7 @@ class UNet1DSegmentation:
             mt, mv, bmp = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
                 batch, nb_epochs, learning_rate, seed, mesh,
-                int(steps_per_dispatch), weight_decay, prng_impl)
+                kdisp_arg, weight_decay, prng_impl)
             for k in sorted(mt.keys()):
                 logger.info("%-20s trn=%-9.4f val=%-9.4f", k, mt[k], mv[k])
             logger.info("Best model path: %s", bmp)
@@ -219,7 +224,7 @@ class UNet1DSegmentation:
             mt, mv, _ = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
                 batch, nb_epochs, learning_rate, seed + val_idx, mesh,
-                int(steps_per_dispatch), weight_decay, prng_impl)
+                kdisp_arg, weight_decay, prng_impl)
             metrics_trn.append(mt)
             metrics_val.append(mv)
         agg = {}
@@ -255,7 +260,7 @@ class UNet1DSegmentation:
         tr_val = [traces[i] for i in idxs_val]
         sp_val = [spikes[i] for i in idxs_val]
         steps_trn = int(ceil(len(tr_trn) / batch))
-        if kdisp == 0:
+        if kdisp is None:
             # preset='perf' sentinel: the largest supported K that divides
             # THIS split's per-epoch step count (cross-validation folds can
             # differ in size, so the choice is per-split, not per-fit).

@@ -142,6 +142,11 @@ def test_fit_preset_perf(tmp_path, caplog):
     with pytest.raises(ValueError, match="preset"):
         model.fit(paths, shape=(128,), error_margin=4, batch=8, nb_epochs=1,
                   val_type="random_split", seed=3, preset="fastest")
+    # steps_per_dispatch=0 must stay a user error — it must NOT collide
+    # with the preset's internal auto-K sentinel (review finding, round 5).
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        model.fit(paths, shape=(128,), error_margin=4, batch=8, nb_epochs=1,
+                  val_type="random_split", seed=3, steps_per_dispatch=0)
 
 
 def test_slope_train1d_ab_helper_cpu():
