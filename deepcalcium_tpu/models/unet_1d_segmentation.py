@@ -65,20 +65,27 @@ def get_dataset_spikes(dspath: str) -> np.ndarray:
         return fp["spikes"][...]
 
 
-@functools.partial(jax.jit, static_argnames=("margin",))
-def _maxpool_labels_jit(spikes, margin: int):
-    x = spikes.astype(jnp.float32)[..., None]
-    y = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, margin + 1, 1), (1, 1, 1), "SAME")
-    return y[..., 0]
-
-
 def maxpool_labels(spikes: np.ndarray, margin: int) -> np.ndarray:
     """Pre-apply the error margin to labels: max-pool spikes with window
-    margin+1, stride 1, SAME (reference ``:385-394`` via K.pool2d)."""
+    margin+1, stride 1, SAME (reference ``:385-394`` via K.pool2d).
+
+    Host numpy on purpose: the training batch gen margin-pools each trace
+    once up front, and a device pool specializes on every distinct trace
+    length — with ragged datasets that is one remote compile (~25 s
+    through the tunnel's compile service) PER LENGTH inside the Prefetcher
+    producer thread, for an op that is microseconds on the host. Window
+    placement matches XLA SAME padding (pad_low = (w-1)//2), pinned
+    against ``lax.reduce_window`` in tests/test_unet1d.py.
+    """
+    x = np.asarray(spikes, np.float32)
     if margin <= 0:
-        return np.asarray(spikes, np.float32)
-    return np.asarray(_maxpool_labels_jit(jnp.asarray(spikes), int(margin)))
+        return x
+    w = int(margin) + 1
+    lo = (w - 1) // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(lo, w - 1 - lo)]
+    xp = np.pad(x, pad, constant_values=-np.inf)
+    return np.lib.stride_tricks.sliding_window_view(
+        xp, w, axis=-1).max(axis=-1)
 
 
 def margin_metrics(spikes_true, spikes_pred, margin: int = 4) -> dict:
@@ -163,6 +170,15 @@ class UNet1DSegmentation:
         # on a typo and change the return type).
         if len(shape) != 1:
             raise ValueError(f"shape must be (window_len,), got {shape}")
+        # Fail BEFORE loading/z-norming every trace, not at first-step
+        # trace time with a cryptic pool shape mismatch: 4 2x T-pools
+        # need a window length divisible by 16.
+        if shape[0] < 16 or shape[0] % 16:
+            raise ValueError(f"shape={shape}: window length must be a "
+                             f"multiple of 16 (4 2x pools)")
+        if not (0 < prop_trn < 1 and 0 < prop_val < 1):
+            raise ValueError(f"prop_trn={prop_trn}, prop_val={prop_val} "
+                             f"must lie in (0, 1)")
         if val_type not in ("random_split", "cross_validate"):
             raise ValueError(f"unknown val_type {val_type!r}")
         if nb_folds <= 1:
@@ -188,7 +204,11 @@ class UNet1DSegmentation:
                      else int(steps_per_dispatch))
         traces = [t for p in dataset_paths for t in self.dataset_traces_func(p)]
         spikes = [s for p in dataset_paths for s in self.dataset_spikes_func(p)]
-        assert len(traces) == len(spikes)
+        if len(traces) != len(spikes):
+            raise ValueError(f"datasets yield {len(traces)} traces but "
+                             f"{len(spikes)} spike rows")
+        if not traces:
+            raise ValueError(f"no traces in {list(dataset_paths)}")
         rng = np.random.default_rng(seed)
 
         if val_type == "random_split":
@@ -199,7 +219,8 @@ class UNet1DSegmentation:
             # silently validates on the WHOLE dataset when the slice length
             # rounds to 0 — unet_1d_segmentation.py:337; fixed here.)
             idxs_val = idxs[n_trn:]
-            assert len(idxs_val) > 0, "prop_val rounds to zero traces"
+            # Non-empty by construction: 0 < prop_trn < 1 (validated above)
+            # makes n_trn < len(idxs), and traces is non-empty.
             mt, mv, bmp = self._fit_single(
                 traces, spikes, idxs_trn, idxs_val, shape, error_margin,
                 batch, nb_epochs, learning_rate, seed, mesh,
@@ -459,24 +480,20 @@ class UNet1DSegmentation:
                                      compute_dtype=self.compute_dtype)
         fwd = T.make_eval_forward(apply_fn, mesh=mesh)
 
+        # Slab batching via the shared pad/crop policy (one compiled batch
+        # shape, mesh-aware padding/sharding) instead of a re-rolled loop:
+        # the local version padded the tail only when the dataset exceeded
+        # `batch`, so every smaller dataset compiled its own batch shape,
+        # and it never sharded slabs for the mesh path.
+        from deepcalcium_tpu.train.evaluate import _run_batched
+
         spikes_pred_all, names_all = [], []
         for p in dataset_paths:
             names_all.append(self.dataset_attrs_func(p)["name"])
             traces = self.dataset_traces_func(p).astype(np.float32)
             padded, t = _pad_to_multiple(traces, 16)
-            preds = []
-            for i in range(0, padded.shape[0], batch):
-                slab = padded[i : i + batch]
-                true = slab.shape[0]
-                if true < batch and padded.shape[0] > batch:
-                    # Zero-pad the ragged tail slab to the compiled batch
-                    # shape — a second batch shape recompiles the full
-                    # forward (same rule as evaluate._run_batched).
-                    slab = np.concatenate(
-                        [slab, np.zeros((batch - true,) + slab.shape[1:],
-                                        slab.dtype)])
-                out = np.asarray(fwd(params, state, jnp.asarray(slab)))
-                preds.append(out[:true, :t])
-            spikes_pred = np.concatenate(preds, axis=0)
+            out = _run_batched(fwd, params, state, padded, mesh=mesh,
+                               max_batch=batch)
+            spikes_pred = out[:, :t]
             spikes_pred_all.append((spikes_pred > threshold).astype(np.uint8))
         return spikes_pred_all, names_all

@@ -242,6 +242,13 @@ class UNet2DSummary:
         if shape_trn[0] != shape_trn[1] or shape_val[0] != shape_val[1]:
             raise ValueError(f"square windows required: {shape_trn}, "
                              f"{shape_val}")
+        # Fail BEFORE the disk-bound dataset summaries, not minutes later
+        # with a cryptic jnp.maximum shape mismatch at first-step trace
+        # time: 4 2x pools need window sides divisible by 16.
+        for nm, shp in (("shape_trn", shape_trn), ("shape_val", shape_val)):
+            if shp[0] < 16 or shp[0] % 16:
+                raise ValueError(f"{nm}={shp}: window sides must be "
+                                 f"multiples of 16 (4 2x pools)")
         if not (0 < prop_trn < 1 and 0 < prop_val < 1):
             raise ValueError(f"prop_trn={prop_trn}, prop_val={prop_val} "
                              f"must lie in (0, 1)")
@@ -581,6 +588,11 @@ class UNet2DSummary:
             if model_path is None:
                 raise ValueError("need model_path or params+state")
             params, state = self._load_params(model_path)
+        elif state is None:
+            # Fail here, not at trace time inside fold_bn with a cryptic
+            # NoneType subscript far from the call site.
+            raise ValueError("params given without state — pass both "
+                             "(state carries the BN moving stats)")
         apply_fn = self._resolve_apply_fn(fast, params, (window_shape,))
 
         from deepcalcium_tpu.ops.summary import auto_backend
@@ -677,7 +689,7 @@ class UNet2DSummary:
         # Images larger than the window dispatch to the sliding-window tiled
         # path (beyond-reference: the reference asserts 512² fields of view,
         # unet_2d_summary.py:565-566); in-window images run as ONE batch.
-        from deepcalcium_tpu.train.evaluate import predict_tiled
+        from deepcalcium_tpu.train.evaluate import predict_tiled, tile_grid
 
         hw, ww = window_shape
         fits = [s.shape[0] <= hw and s.shape[1] <= ww for s in S]
@@ -686,13 +698,13 @@ class UNet2DSummary:
         def ntiles(s):
             """Window-sized forwards an image costs: 1 in-window, else the
             tiled path's grid count (keeps the views/s log honest — an
-            oversized image is ntiles forwards, not 1)."""
+            oversized image is ntiles forwards, not 1). Asks tile_grid —
+            the SAME geometry predict_tiled tiles with — so the accounting
+            cannot drift from the actual tiling."""
             if s.shape[0] <= hw and s.shape[1] <= ww:
                 return 1
-            ov = min(64, min(hw, ww) // 2)
-            ny = -(-max(s.shape[0] - hw, 0) // max(hw - ov, 1)) + 1
-            nx = -(-max(s.shape[1] - ww, 0) // max(ww - ov, 1)) + 1
-            return ny * nx
+            ys, xs = tile_grid(s.shape, window_shape)
+            return len(ys) * len(xs)
 
         nviews = sum(ntiles(s) for s in S) * (8 if augmentation else 1)
         with phase_timer("predict_forward", items=nviews, unit="views"):

@@ -25,8 +25,9 @@ from deepcalcium_tpu.ops.augment import (tta_collapse, tta_collapse_np,
 from deepcalcium_tpu.parallel.mesh import pad_batch_to, shard_batch
 
 __all__ = ["reflect_pad_to", "predict_batched", "predict_tta",
-           "predict_tiled", "make_movie_evaluator", "make_summary_evaluator",
-           "evaluate_movie_streaming", "evaluate_movie_tiled"]
+           "predict_tiled", "tile_grid", "make_movie_evaluator",
+           "make_summary_evaluator", "evaluate_movie_streaming",
+           "evaluate_movie_tiled"]
 
 
 def _image_eval_body(apply_fn, image_shape, window, tta, threshold):
@@ -300,6 +301,39 @@ def predict_batched(fwd, params, state, images, window=(512, 512), mesh=None,
     return [p[: s.shape[0], : s.shape[1]] for p, s in zip(probs, images)]
 
 
+def tile_grid(shape, window=(512, 512), overlap=None):
+    """(ys, xs) top-left corners of the sliding-window tiling of a
+    ``shape`` = (H, W) image by ``window`` tiles.
+
+    The single source of the tiling geometry: :func:`predict_tiled` builds
+    its tiles from this grid, and ``UNet2DSummary.predict``'s views/s
+    accounting counts ``len(ys) * len(xs)`` — the two must agree or the
+    throughput log silently lies.
+
+    ``overlap``: pixels shared by adjacent tiles; None (default) picks
+    ``min(64, min(window) // 2)`` so any window size works. Dimensions not
+    exceeding the window produce a single row/column at corner 0.
+    """
+    hw, ww = window
+    if overlap is None:
+        overlap = min(64, min(hw, ww) // 2)
+    if not (0 <= overlap < min(hw, ww)):
+        raise ValueError(
+            f"overlap must be in [0, min(window)) = [0, {min(hw, ww)}); "
+            f"got {overlap}")
+    h, w = shape
+    ph, pw = max(h, hw), max(w, ww)
+    stride_y = hw - overlap if ph > hw else hw
+    stride_x = ww - overlap if pw > ww else ww
+    ys = list(range(0, max(ph - hw, 0) + 1, stride_y))
+    xs = list(range(0, max(pw - ww, 0) + 1, stride_x))
+    if ys[-1] != ph - hw:
+        ys.append(ph - hw)
+    if xs[-1] != pw - ww:
+        xs.append(pw - ww)
+    return ys, xs
+
+
 def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=None,
                   mesh=None, max_batch=None, tta=False):
     """Sliding-window prediction for an image LARGER than the network window.
@@ -335,12 +369,6 @@ def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=None,
         # slab through the ~250 MB/s tunnel. A fixed slab compiles once
         # and streams; the ragged tail is zero-padded by _run_batched.
         max_batch = 16
-    if overlap is None:
-        overlap = min(64, min(hw, ww) // 2)
-    if not (0 <= overlap < min(hw, ww)):
-        raise ValueError(
-            f"overlap must be in [0, min(window)) = [0, {min(hw, ww)}); "
-            f"got {overlap}")
     if tta and hw != ww:
         raise ValueError(f"TTA needs a square window (rot90 views); "
                          f"got {window}")
@@ -349,14 +377,7 @@ def predict_tiled(fwd, params, state, img, window=(512, 512), overlap=None,
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="reflect") \
         if (ph > h or pw > w) else img
 
-    stride_y = hw - overlap if ph > hw else hw
-    stride_x = ww - overlap if pw > ww else ww
-    ys = list(range(0, max(ph - hw, 0) + 1, stride_y))
-    xs = list(range(0, max(pw - ww, 0) + 1, stride_x))
-    if ys[-1] != ph - hw:
-        ys.append(ph - hw)
-    if xs[-1] != pw - ww:
-        xs.append(pw - ww)
+    ys, xs = tile_grid((h, w), window, overlap)
 
     tiles = np.stack([padded[y : y + hw, x : x + ww] for y in ys for x in xs])
     if tta:

@@ -706,6 +706,71 @@ def test_predict_tiled_rejects_bad_overlap(tiny_model):
         predict_tiled(fwd, params, state, big, window=(64, 64), overlap=64)
 
 
+def test_tile_grid_geometry():
+    """tile_grid is the single source of the sliding-window geometry
+    (predict_tiled's tiles AND predict's views/s accounting)."""
+    from deepcalcium_tpu.train.evaluate import tile_grid
+
+    # In-window dims: one corner at 0 per axis.
+    assert tile_grid((96, 96), (128, 128)) == ([0], [0])
+    # Exact stride multiple: no appended edge tile. window 96, default
+    # overlap min(64, 48) = 48 -> stride 48; h=144 -> corners [0, 48].
+    assert tile_grid((144, 96), (96, 96)) == ([0, 48], [0])
+    # Non-multiple: the edge tile is appended at ph - hw.
+    assert tile_grid((150, 96), (96, 96)) == ([0, 48, 54], [0])
+    # Every grid covers the (padded) image exactly to the far edge.
+    for shape in ((150, 203), (96, 700), (512, 512), (700, 600)):
+        ys, xs = tile_grid(shape, (96, 96))
+        assert ys[-1] + 96 == max(shape[0], 96)
+        assert xs[-1] + 96 == max(shape[1], 96)
+        assert ys == sorted(set(ys)) and xs == sorted(set(xs))
+    with pytest.raises(ValueError, match="overlap"):
+        tile_grid((112, 112), (64, 64), overlap=64)
+
+
+def test_fit_and_evaluate_movie_reject_bad_knobs(tmp_path, tiny_model):
+    """Early ValueErrors (review r5c): window sides not %16 fail BEFORE
+    the disk-bound dataset summaries (the paths here don't even exist),
+    and params-without-state fails at the call, not at trace time inside
+    fold_bn with a NoneType subscript."""
+    init_fn, apply_fn = tiny_model
+    model = UNet2DSummary(cpdir=str(tmp_path / "cpV"), net_init_func=init_fn,
+                          net_apply_func=apply_fn)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        model.fit(["/nonexistent.hdf5"], shape_trn=(100, 100),
+                  shape_val=(96, 96))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        model.fit(["/nonexistent.hdf5"], shape_trn=(32, 32),
+                  shape_val=(100, 100))
+    with pytest.raises(ValueError, match="without state"):
+        model.evaluate_movie(np.zeros((4, 96, 96), np.float32),
+                             params={"enc0a": None})
+
+
+def test_run_batched_pads_to_one_compiled_shape():
+    """_run_batched's contract: every slab reaches fwd at the SAME batch
+    shape (ragged tails and small inputs zero-pad up; outputs crop back)
+    — one compiled shape per (max_batch, item-shape), never per dataset
+    size."""
+    from deepcalcium_tpu.train.evaluate import _run_batched
+
+    seen = []
+
+    def fwd(params, state, x):
+        seen.append(x.shape)
+        return np.asarray(x) * 2.0
+
+    data = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    out = _run_batched(fwd, None, None, data, max_batch=4)
+    assert [s[0] for s in seen] == [4, 4, 4]  # 10 -> 4+4+2pad
+    np.testing.assert_array_equal(out, data * 2.0)
+
+    seen.clear()
+    out = _run_batched(fwd, None, None, data[:2], max_batch=4)
+    assert [s[0] for s in seen] == [4]  # n < max_batch pads up too
+    np.testing.assert_array_equal(out, data[:2] * 2.0)
+
+
 def test_stack_batches_slabs_consecutive():
     """stack_batches(gen, k) must emit (k, B, ...) slabs of k CONSECUTIVE
     batches, preserving order across calls (the K-scan dispatch feeder —

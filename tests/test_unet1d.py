@@ -55,6 +55,39 @@ def test_maxpool_labels_oracle():
     np.testing.assert_array_equal(maxpool_labels(s, margin=0), s)
 
 
+def test_maxpool_labels_matches_reduce_window():
+    """Host sliding-window max == lax.reduce_window SAME — window
+    placement parity for odd AND even windows on ragged lengths.
+
+    maxpool_labels is host numpy on purpose (a device pool specializes on
+    every distinct trace length — one remote compile per length with
+    ragged datasets); this pins it to the XLA SAME semantics it replaced."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    for margin in (1, 2, 4, 7):  # windows 2 (even), 3, 5, 8 (even)
+        for t in (15, 16, 33):
+            s = (rng.random((3, t)) < 0.2).astype(np.float32)
+            got = maxpool_labels(s, margin)
+            want = lax.reduce_window(
+                jnp.asarray(s)[..., None], -jnp.inf, lax.max,
+                (1, margin + 1, 1), (1, 1, 1), "SAME")[..., 0]
+            np.testing.assert_array_equal(got, np.asarray(want))
+            assert got.dtype == np.float32
+
+
+def test_fit_rejects_bad_knobs_before_io(tmp_path):
+    """Knob typos fail IMMEDIATELY (paths here don't exist — validation
+    must fire before any dataset IO), not minutes later at trace time."""
+    model = UNet1DSegmentation(cpdir=str(tmp_path / "cp"))
+    with pytest.raises(ValueError, match="multiple of 16"):
+        model.fit(["/nonexistent.hdf5"], shape=(1000,))
+    with pytest.raises(ValueError, match="lie in"):
+        model.fit(["/nonexistent.hdf5"], shape=(128,),
+                  prop_trn=1.0, prop_val=0.0)
+
+
 def test_traces_z_normalized(tmp_path):
     p = make_spikes_hdf5(str(tmp_path / "sp.hdf5"), nb_traces=4, trace_len=256)
     tr = get_dataset_traces(p)
@@ -80,6 +113,12 @@ def test_fit_predict_random_split(tmp_path):
     assert names == ["spikes.0", "spikes.1"]
     assert preds[0].shape == (8, 256)
     assert preds[0].dtype == np.uint8
+
+    # Batch size must not change predictions: batch=32 > n pads the slab
+    # to the fixed compiled shape (evaluate._run_batched policy).
+    preds32, _ = model.predict(paths, best, batch=32)
+    np.testing.assert_array_equal(preds32[0], preds[0])
+    np.testing.assert_array_equal(preds32[1], preds[1])
 
 
 def test_fit_k_step_dispatch(tmp_path, caplog):
