@@ -31,9 +31,20 @@ def decode_chunk(paths, i_shape) -> np.ndarray:
 
     if tiff_native.available():
         frames, status = tiff_native.decode_batch(list(paths), *i_shape)
-        for p, bad in zip(paths, status):
+        for i, (p, bad) in enumerate(zip(paths, status)):
             if bad:
-                logger.warning("Error on file %s — zero-filled.", p)
+                # The native tier flags layouts it does not decode exactly
+                # (exotic sample formats, odd strip/tile arrangements) as
+                # well as genuinely corrupt files. Retry flagged frames on
+                # the PIL tier before declaring them corrupt — the fast
+                # path must never be a correctness downgrade vs. PIL.
+                try:
+                    frames[i] = read_tiff(p)  # raises on shape mismatch
+                    logger.info("Native decode failed on %s; PIL tier "
+                                "recovered it.", p)
+                except (OSError, ValueError) as e:
+                    logger.warning("Error on file %s: %s — zero-filled.",
+                                   p, e)
         return frames
     out = np.zeros((len(paths),) + tuple(i_shape), np.int16)
     for i, p in enumerate(paths):

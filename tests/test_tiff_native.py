@@ -61,3 +61,63 @@ def test_thread_counts_equivalent(tiff_fixture):
     f1, _ = tn.decode_batch(paths, 64, 64, nthreads=1)
     f8, _ = tn.decode_batch(paths, 64, 64, nthreads=8)
     np.testing.assert_array_equal(f1, f8)
+
+
+def _tiff_writer():
+    try:
+        from imageio.plugins import _tifffile
+        return _tifffile.TiffWriter
+    except Exception:
+        return None
+
+
+@pytest.mark.skipif(_tiff_writer() is None,
+                    reason="no tifffile writer for exotic-layout fixtures")
+def test_tiled_signed_and_halffloat_layouts(tmp_path):
+    """Layouts beyond plain strips (review r5c): tiled TIFFs decode
+    exactly (libtiff refuses scanline reads on them — the old loader
+    zero-filled VALID files), signed 8-bit keeps its sign (-1 != 255),
+    and 16-bit half-float is REJECTED with a status flag rather than
+    reinterpreted as uint16 garbage under status 0."""
+    w = _tiff_writer()
+    tiled = (np.arange(64 * 64) % 1000).astype(np.uint16).reshape(64, 64)
+    edge = (np.arange(70 * 50) % 777).astype(np.uint16).reshape(70, 50)
+    i8 = (np.arange(64 * 64) % 255 - 128).astype(np.int8).reshape(64, 64)
+    f16 = np.linspace(0, 100, 64 * 64).astype(np.float16).reshape(64, 64)
+    p = {}
+    for name, arr, kw in [("tiled", tiled, {"tile": (16, 16)}),
+                          ("edge", edge, {"tile": (32, 32)}),
+                          ("i8", i8, {}), ("f16", f16, {})]:
+        p[name] = str(tmp_path / f"{name}.tif")
+        with w(p[name]) as tw:
+            tw.save(arr, **kw)
+
+    frames, status = tn.decode_batch([p["tiled"], p["i8"], p["f16"]], 64, 64)
+    np.testing.assert_array_equal(status, [0, 0, 1])
+    np.testing.assert_array_equal(frames[0], tiled.astype(np.int16))
+    np.testing.assert_array_equal(frames[1], i8.astype(np.int16))
+    assert frames[2].sum() == 0  # flagged AND zeroed, never garbage
+
+    # Image not a multiple of the tile: edge tiles crop correctly.
+    fe, se = tn.decode_batch([p["edge"]], 70, 50)
+    assert se[0] == 0
+    np.testing.assert_array_equal(fe[0], edge.astype(np.int16))
+
+
+def test_decode_chunk_retries_flagged_frames_on_pil(tiff_fixture, monkeypatch):
+    """A frame the native tier flags but PIL can decode must be RECOVERED,
+    not zero-filled — the fast path is never a correctness downgrade."""
+    from deepcalcium_tpu.data import _ingest
+
+    paths, movie = tiff_fixture
+    real = tn.decode_batch
+
+    def flaky(ps, h, w, nthreads=None):
+        frames, status = real(ps, h, w, nthreads)
+        frames[1] = 0  # pretend the native tier could not decode frame 1
+        status[1] = 1
+        return frames, status
+
+    monkeypatch.setattr(tn, "decode_batch", flaky)
+    out = _ingest.decode_chunk(paths[:3], (64, 64))
+    np.testing.assert_array_equal(out, movie[:3])  # frame 1 recovered
