@@ -15,7 +15,7 @@ gate() {
 if [ ! -s docs/train1d_step_profile_r5_rbg.csv ]; then
   if gate; then
     timeout 3600 python -u examples/analysis/train_step_profile.py \
-        --net unet1d --prng rbg \
+        --net unet1d --win 4096 --prng rbg \
         --csv docs/train1d_step_profile_r5_rbg.csv \
         > "$LOG/profile_1d_rbg.out" 2> "$LOG/profile_1d_rbg.err"
     echo "[r5c] profile_1d_rbg done rc=$?" >> "$LOG/r5c.log"
